@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding tests
+run without TPU hardware (SURVEY.md §7 testing strategy)."""
+
+import os
+
+# Prevent the axon TPU plugin from registering in test processes: its
+# sitecustomize hook contacts the TPU pool at interpreter start (minutes of
+# wall time) and overrides JAX_PLATFORMS. Tests are CPU-only by design.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

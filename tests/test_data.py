@@ -1,0 +1,131 @@
+"""Data layer: label-remap LUTs vs the reference inverted_order semantics,
+incremental filtering, loader sharding."""
+
+import numpy as np
+
+from ucd_tpu.data import (
+    DataLoader,
+    SyntheticSegmentation,
+    ade_remap_lut,
+    city_remap_lut,
+    filter_images,
+    make_incremental_dataset,
+    split_train_val,
+    voc_remap_lut,
+)
+from ucd_tpu.data.transforms import train_transform, val_transform
+
+
+def reference_voc_remap(x, labels, labels_old):
+    """Oracle from dataset/voc.py:182-207 (masking, data_masking='current')."""
+    order = [0] + labels_old + labels
+    inverted = {lab: i for i, lab in enumerate(order)}
+    inverted[255] = 255
+    tmp = [0] + labels + [255]
+    return inverted[x] if x in tmp else 0
+
+
+def test_voc_lut_matches_reference_semantics():
+    labels, labels_old = [16, 17], list(range(1, 16))
+    lut = voc_remap_lut(labels, labels_old)
+    for x in list(range(0, 25)) + [254, 255]:
+        assert lut[x] == reference_voc_remap(x, labels, labels_old), x
+
+
+def test_voc_lut_step0():
+    labels = list(range(1, 20))
+    lut = voc_remap_lut(labels, [])
+    for x in range(1, 20):
+        assert lut[x] == x
+    assert lut[20] == 0  # future class -> background
+    assert lut[255] == 255
+
+
+def test_ade_lut():
+    labels, labels_old = [101, 102], list(range(1, 101))
+    lut = ade_remap_lut(labels, labels_old)
+    assert lut[101] == 101 and lut[102] == 102
+    assert lut[1] == 0      # old class masked to bkg
+    assert lut[150] == 0    # future class masked
+    assert lut[255] == 0    # ADE does not preserve 255 under masking
+    assert lut[0] == 0
+
+
+def test_city_lut_train_vs_val():
+    labels, labels_old = [14], list(range(1, 14))
+    lut_tr = city_remap_lut(labels, labels_old, train=True)
+    lut_va = city_remap_lut(labels, labels_old, train=False)
+    assert lut_tr[14] == 14 and lut_va[14] == 14
+    assert lut_tr[15] == 0 and lut_va[15] == 255  # masking value differs
+    assert lut_tr[255] == 0 and lut_va[255] == 255
+
+
+def test_filter_images_overlap_vs_disjoint():
+    masks = [
+        np.array([[0, 1], [1, 1]]),        # only old
+        np.array([[0, 16], [1, 1]]),       # new + old
+        np.array([[0, 16], [16, 0]]),      # new + bkg
+        np.array([[0, 16], [19, 0]]),      # new + future(19)
+        np.array([[255, 16], [0, 0]]),     # new + ignore
+    ]
+    labels, labels_old = [16], list(range(1, 16))
+    ov = filter_images(masks, labels, labels_old, overlap=True)
+    assert ov == [1, 2, 3, 4]
+    dj = filter_images(masks, labels, labels_old, overlap=False)
+    assert dj == [1, 2, 4]  # future-class image dropped... 19 not allowed
+
+
+def test_incremental_dataset_end_to_end(tmp_path):
+    base = SyntheticSegmentation(n=24, size=32, n_classes=21, seed=1)
+    ds = make_incremental_dataset(
+        "voc", root=str(tmp_path), train=True,
+        transform=train_transform(16), labels=[16, 17],
+        labels_old=list(range(1, 16)),
+        idxs_path=str(tmp_path / "train-1.npy"), overlap=True, base=base)
+    assert len(ds) > 0
+    img, lbl = ds.get(0, np.random.default_rng(0))
+    assert img.shape == (16, 16, 3) and img.dtype == np.float32
+    assert lbl.shape == (16, 16)
+    assert set(np.unique(lbl)) <= set(range(18)) | {255}
+    # idx cache reused
+    ds2 = make_incremental_dataset(
+        "voc", root=str(tmp_path), train=True,
+        transform=val_transform(16), labels=[16, 17],
+        labels_old=list(range(1, 16)),
+        idxs_path=str(tmp_path / "train-1.npy"), overlap=True, base=base)
+    assert ds2.indices == ds.indices
+
+
+def test_dataloader_sharding_and_determinism():
+    base = SyntheticSegmentation(n=32, size=8, n_classes=5, seed=0)
+    dl = DataLoader(base, batch_size=4, seed=7)
+    b1 = [b["label"].sum() for b in dl.epoch(0)]
+    b2 = [b["label"].sum() for b in dl.epoch(0)]
+    assert b1 == b2                      # deterministic per epoch
+    b3 = [b["label"].sum() for b in dl.epoch(1)]
+    assert b1 != b3                      # reshuffled across epochs
+    assert len(b1) == 8
+
+    # two-host sharding partitions the epoch
+    d0 = DataLoader(base, batch_size=4, seed=7, process_index=0,
+                    process_count=2)
+    d1 = DataLoader(base, batch_size=4, seed=7, process_index=1,
+                    process_count=2)
+    assert len(d0) == 4 and len(d1) == 4
+
+
+def test_split_train_val():
+    base = SyntheticSegmentation(n=20, size=8, n_classes=5)
+    tr, va = split_train_val(base, 0.2, seed=0)
+    assert len(tr) == 16 and len(va) == 4
+
+
+def test_transforms_preserve_pairing():
+    rng = np.random.default_rng(0)
+    img = (np.arange(64 * 64 * 3).reshape(64, 64, 3) % 255).astype(np.uint8)
+    lbl = (np.arange(64 * 64).reshape(64, 64) % 21).astype(np.uint8)
+    out_img, out_lbl = train_transform(32)(img, lbl, rng)
+    assert out_img.shape == (32, 32, 3)
+    assert out_lbl.shape == (32, 32)
+    vi, vl = val_transform(32)(img, lbl, rng)
+    assert vi.shape == (32, 32, 3) and vl.shape == (32, 32)

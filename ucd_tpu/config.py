@@ -1,0 +1,196 @@
+"""Experiment configuration for the TPU-native UCD framework.
+
+Replaces the reference's argparse flag soup (/root/reference/argparser.py:46-203)
+with a typed dataclass, and the `--method` preset expander
+(/root/reference/argparser.py:5-43) with `apply_method`. Every reference flag
+that affects training math has an equivalent field here; purely-torch flags
+(opt_level, local_rank, MASTER_PORT) are replaced by TPU-native settings
+(dtype policy, mesh shape).
+
+Defects fixed relative to the reference (SURVEY.md §2.6):
+  * `UCD` is a valid method choice (reference argparser.py:66-68 omitted it).
+  * contrastive loss is gated behind `contrastive=True` (set by the UCD
+    preset) instead of running for every method at step > 0
+    (reference train.py:110-116).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+from . import tasks as task_registry
+
+METHODS = ("FT", "LWF", "LWF-MC", "ILT", "EWC", "RW", "PI", "MiB", "UCD")
+
+# per-dataset total class counts incl. background/void (argparser.py:6-11)
+NUM_CLASSES = {"voc": 21, "ade": 151, "city": 20}
+
+
+@dataclass
+class Config:
+    # dataset / task
+    dataset: str = "voc"
+    task: str = "19-1"
+    step: int = 0
+    overlap: bool = False
+    masking: bool = True           # reference: not --no_mask
+    data_root: str = "data"
+    cross_val: bool = False        # 80/20 split of train when False? (ref: cross_val flag)
+
+    # method
+    method: Optional[str] = None
+
+    # training
+    epochs: int = 30
+    batch_size: int = 24           # global batch (reference: per-GPU batch × world)
+    crop_size: int = 512
+    lr: float = 0.007
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    lr_policy: str = "poly"        # poly | step
+    lr_power: float = 0.9
+    lr_decay_step: int = 5000
+    lr_decay_factor: float = 0.1
+    random_seed: int = 42
+    fix_bn: bool = False
+    freeze: bool = False           # freeze backbone body in incremental steps
+
+    # model
+    backbone: str = "resnet101"    # resnet50 | resnet101
+    output_stride: int = 16
+    pretrained: bool = True
+    pretrained_path: Optional[str] = None
+    norm_act: str = "iabn_sync"    # iabn_sync | iabn | abn | std (all map to BN+leaky_relu; sync is automatic under sharding)
+    pooling: int = 32              # ASPP eval pooling size
+    head_channels: int = 256
+
+    # losses / methods
+    bce: bool = False
+    unce: bool = False
+    unkd: bool = False
+    alpha: float = 1.0             # KD soft-label hardening
+    loss_kd: float = 0.0
+    loss_de: float = 0.0
+    contrastive: bool = False      # UCD pixel-contrastive distillation term
+    temperature: float = 0.07
+    contrastive_weight: float = 0.01   # reference divides conloss by 100 (train.py:116)
+    contrastive_capacity: int = 0      # 0 = full B*h*w pixel set; >0 = fixed anchor budget
+    icarl: bool = False
+    icarl_importance: float = 1.0
+    icarl_disjoint: bool = False
+    icarl_bkg: bool = False
+    init_balanced: bool = False
+
+    # regularizers
+    regularizer: Optional[str] = None   # ewc | pi | rw
+    reg_importance: float = 1.0
+    reg_alpha: float = 0.9
+    reg_normalize: bool = True          # reference: not --reg_no_normalize
+    reg_iterations: int = 10
+
+    # TPU execution
+    dtype: str = "bfloat16"        # compute dtype: bfloat16 | float32
+    param_dtype: str = "float32"   # master weights
+    data_axis: int = 0             # mesh axis size 0 = all devices
+    remat: bool = False            # rematerialize backbone blocks to save HBM
+    use_pallas_contrastive: bool = True
+
+    # eval / logging / ckpt
+    crop_val: bool = True
+    val_interval: int = 1
+    print_interval: int = 10
+    logdir: str = "./logs"
+    name: str = "Experiment"
+    ckpt_dir: str = "checkpoints/step"
+    ckpt: Optional[str] = None     # resume path
+    step_ckpt: Optional[str] = None  # previous-step checkpoint override
+    test_only: bool = False
+    sample_num: int = 0
+    debug: bool = False
+
+    # -- derived ----------------------------------------------------------
+    @property
+    def num_classes(self) -> int:
+        return NUM_CLASSES[self.dataset]
+
+    @property
+    def classes_per_step(self) -> list[int]:
+        return task_registry.get_per_task_classes(self.dataset, self.task, self.step)
+
+    @property
+    def tot_classes(self) -> int:
+        return sum(self.classes_per_step)
+
+    @property
+    def old_classes(self) -> int:
+        cps = self.classes_per_step
+        return sum(cps[:-1]) if len(cps) > 1 else 0
+
+    @property
+    def new_classes(self) -> int:
+        return self.classes_per_step[-1]
+
+    @property
+    def task_name(self) -> str:
+        return f"{self.task}-{self.dataset}"
+
+    def ckpt_path(self, step: Optional[int] = None) -> str:
+        step = self.step if step is None else step
+        return f"{self.ckpt_dir}/{self.task_name}_{self.name}_{step}"
+
+    def validate(self) -> "Config":
+        assert self.dataset in NUM_CLASSES, f"unknown dataset {self.dataset}"
+        assert self.output_stride in (8, 16)
+        assert self.backbone in ("resnet50", "resnet101")
+        assert self.lr_policy in ("poly", "step")
+        assert self.method is None or self.method in METHODS
+        assert self.regularizer in (None, "ewc", "pi", "rw")
+        task_dict = task_registry.get_task_dict(self.dataset, self.task)
+        assert self.step in task_dict, (
+            f"step {self.step} out of range for task {self.task} "
+            f"(valid: 0..{max(task_dict)})")
+        return self
+
+
+def apply_method(cfg: Config) -> Config:
+    """Expand `cfg.method` into hyperparameters (reference argparser.py:15-39)."""
+    m = cfg.method
+    if m is None or m == "FT":
+        return cfg
+    updates: dict = {}
+    if m == "LWF":
+        updates = dict(loss_kd=100.0)
+    elif m == "LWF-MC":
+        updates = dict(icarl=True, icarl_importance=10.0)
+    elif m == "ILT":
+        updates = dict(loss_kd=100.0, loss_de=100.0)
+    elif m == "EWC":
+        updates = dict(regularizer="ewc", reg_importance=500.0)
+    elif m == "RW":
+        updates = dict(regularizer="rw", reg_importance=100.0)
+    elif m == "PI":
+        updates = dict(regularizer="pi", reg_importance=500.0)
+    elif m == "MiB":
+        updates = dict(loss_kd=10.0, unce=True, unkd=True, init_balanced=True)
+    elif m == "UCD":
+        # reference preset (argparser.py:35-39) plus the always-on contrastive
+        # term gated properly (SURVEY.md §2.6-7)
+        updates = dict(loss_kd=10.0, unce=True, unkd=True, init_balanced=True,
+                       contrastive=True)
+    return dataclasses.replace(cfg, **updates)
+
+
+def make_config(**kwargs) -> Config:
+    """Build, expand method preset, validate."""
+    cfg = Config(**kwargs)
+    cfg = apply_method(cfg)
+    return cfg.validate()
+
+
+def poly_lr(base_lr: float, step: int, max_iters: int, power: float = 0.9) -> float:
+    """PolyLR: base*(1-iter/max_iter)^power, stepped per iteration
+    (reference utils/scheduler.py:1-10)."""
+    return base_lr * max(0.0, (1.0 - step / max_iters)) ** power

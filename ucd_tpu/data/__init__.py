@@ -1,0 +1,26 @@
+from . import transforms
+from .datasets import (
+    AdeSegmentation,
+    CitySegmentation,
+    CityscapesSegmentationDomain,
+    SyntheticSegmentation,
+    VOCSegmentation,
+    make_incremental_dataset,
+)
+from .incremental import (
+    Subset,
+    ade_remap_lut,
+    build_remap_lut,
+    city_remap_lut,
+    filter_images,
+    voc_remap_lut,
+)
+from .loader import DataLoader, split_train_val
+
+__all__ = [
+    "transforms", "AdeSegmentation", "CitySegmentation",
+    "CityscapesSegmentationDomain", "SyntheticSegmentation", "VOCSegmentation",
+    "make_incremental_dataset", "Subset", "ade_remap_lut", "build_remap_lut",
+    "city_remap_lut", "filter_images", "voc_remap_lut", "DataLoader",
+    "split_train_val",
+]

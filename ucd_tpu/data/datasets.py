@@ -1,0 +1,232 @@
+"""Dataset readers: VOC-aug / ADE20k / Cityscapes (+ domain-incremental
+variant) and a synthetic in-memory dataset for tests/benchmarks.
+
+Rebuild of /root/reference/dataset/{voc,ade,cityscape,cityscapes_domain}.py.
+Each incremental wrapper = base reader + cached index filter + LUT remap via
+`incremental.Subset`. Unlike the reference, the domain-incremental Cityscapes
+variant is reachable from the CLI (the reference never wired it into run.py —
+SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import numpy as np
+
+from .incremental import (
+    CITY_ID_TO_20,
+    CITY_ID_TO_TRAINID,
+    CITY_TO_DOMAIN_ID,
+    Subset,
+    ade_remap_lut,
+    city_remap_lut,
+    filter_images,
+    load_or_compute_idxs,
+    strip_zero,
+    voc_remap_lut,
+)
+
+try:
+    from PIL import Image
+    HAS_PIL = True
+except ImportError:  # pragma: no cover
+    HAS_PIL = False
+
+VOC_CLASSES = [
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
+    "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+]
+
+CITY_CLASSES = [
+    "void", "road", "sidewalk", "building", "wall", "fence", "pole",
+    "traffic light", "traffic sign", "vegetation", "terrain", "sky", "person",
+    "rider", "car", "truck", "bus", "train", "motorcycle", "bicycle",
+]
+
+
+class VOCSegmentation:
+    """VOC2012 + SegmentationClassAug (reference dataset/voc.py:38-116):
+    split files under <root>/splits; train_aug.txt lines are
+    '/JPEGImages/x.jpg /SegmentationClassAug/x.png'."""
+
+    def __init__(self, root: str, image_set: str = "train", is_aug: bool = True):
+        self.root = os.path.expanduser(root)
+        splits_dir = os.path.join(self.root, "splits")
+        if is_aug and image_set == "train":
+            split_f = os.path.join(splits_dir, "train_aug.txt")
+        else:
+            split_f = os.path.join(splits_dir, image_set + ".txt")
+        if not os.path.exists(split_f):
+            raise FileNotFoundError(split_f)
+        with open(split_f) as f:
+            file_names = [x.strip().split(" ") for x in f.readlines()]
+        self.images = [(os.path.join(self.root, a.lstrip("/")),
+                        os.path.join(self.root, b.lstrip("/")))
+                       for a, b in file_names]
+
+    def __getitem__(self, index):
+        img = np.asarray(Image.open(self.images[index][0]).convert("RGB"))
+        lbl = np.asarray(Image.open(self.images[index][1]))
+        return img, lbl
+
+    def get_mask(self, index):
+        return np.asarray(Image.open(self.images[index][1]))
+
+    def __len__(self):
+        return len(self.images)
+
+
+class AdeSegmentation:
+    """ADEChallengeData2016 (reference dataset/ade.py:35-74)."""
+
+    def __init__(self, root: str, train: bool = True):
+        root = os.path.expanduser(root)
+        ade_root = os.path.join(root, "ADEChallengeData2016")
+        split = "training" if train else "validation"
+        ann = os.path.join(ade_root, "annotations", split)
+        img = os.path.join(ade_root, "images", split)
+        fnames = sorted(os.listdir(img))
+        self.images = [(os.path.join(img, x), os.path.join(ann, x[:-3] + "png"))
+                       for x in fnames]
+
+    def __getitem__(self, index):
+        img = np.asarray(Image.open(self.images[index][0]).convert("RGB"))
+        lbl = np.asarray(Image.open(self.images[index][1]))
+        return img, lbl
+
+    def get_mask(self, index):
+        return np.asarray(Image.open(self.images[index][1]))
+
+    def __len__(self):
+        return len(self.images)
+
+
+class CitySegmentation:
+    """Cityscapes with the 34->20 label-id collapse
+    (reference dataset/cityscape.py:35-101)."""
+
+    def __init__(self, root: str, train: bool = True):
+        root = os.path.expanduser(root)
+        city_root = os.path.join(root, "Cityscapes")
+        split = "train" if train else "val"
+        img_folder = os.path.join(city_root, "leftImg8bit", split)
+        mask_folder = os.path.join(city_root, "gtFine", split)
+        self.images, self.masks = [], []
+        for path in sorted(glob.glob(os.path.join(img_folder, "*", "*.png"))):
+            city = os.path.basename(os.path.dirname(path))
+            mask = os.path.join(
+                mask_folder, city,
+                os.path.basename(path).replace("leftImg8bit",
+                                               "gtFine_labelIds"))
+            if os.path.isfile(mask):
+                self.images.append(path)
+                self.masks.append(mask)
+
+    def _collapse(self, mask):
+        m = np.asarray(mask, np.int64)
+        return CITY_ID_TO_20[np.clip(m, 0, 34)]
+
+    def __getitem__(self, index):
+        img = np.asarray(Image.open(self.images[index]).convert("RGB"))
+        lbl = self._collapse(np.asarray(Image.open(self.masks[index])))
+        return img, lbl.astype(np.uint8)
+
+    def get_mask(self, index):
+        return self._collapse(np.asarray(Image.open(self.masks[index])))
+
+    def __len__(self):
+        return len(self.images)
+
+
+class CityscapesSegmentationDomain:
+    """Domain-incremental Cityscapes: steps = cities, labels = 19 train-ids
+    (reference dataset/cityscapes_domain.py:79-145)."""
+
+    def __init__(self, root: str):
+        root = os.path.expanduser(root)
+        ann = os.path.join(root, "gtFine")
+        img = os.path.join(root, "leftImg8bit")
+        self.items = []
+        for split in ("train", "val"):
+            for path in sorted(glob.glob(os.path.join(img, split, "*", "*.png"))):
+                city = os.path.basename(os.path.dirname(path))
+                mask = os.path.join(
+                    ann, split, city,
+                    os.path.basename(path)[:-15] + "gtFine_labelIds.png")
+                self.items.append((path, mask, CITY_TO_DOMAIN_ID[city]))
+
+    def __getitem__(self, index):
+        path, mask, _ = self.items[index]
+        img = np.asarray(Image.open(path).convert("RGB"))
+        m = np.asarray(Image.open(mask), np.int64)
+        lbl = CITY_ID_TO_TRAINID[np.clip(m, 0, 34)]
+        return img, lbl.astype(np.uint8)
+
+    def domain(self, index) -> int:
+        return self.items[index][2]
+
+    def __len__(self):
+        return len(self.items)
+
+
+class SyntheticSegmentation:
+    """In-memory random dataset for tests and benches (the reference's only
+    runnable smoke is real-data training; SURVEY.md §4)."""
+
+    def __init__(self, n: int = 32, size: int = 64, n_classes: int = 21,
+                 seed: int = 0):
+        rng = np.random.RandomState(seed)
+        self.images = (rng.rand(n, size, size, 3) * 255).astype(np.uint8)
+        self.labels = rng.randint(0, n_classes, size=(n, size, size)).astype(
+            np.uint8)
+
+    def __getitem__(self, index):
+        return self.images[index], self.labels[index]
+
+    def get_mask(self, index):
+        return self.labels[index]
+
+    def __len__(self):
+        return len(self.images)
+
+
+def make_incremental_dataset(dataset: str, root: str, train: bool,
+                             transform, labels, labels_old=None,
+                             idxs_path: Optional[str] = None,
+                             masking: bool = True, overlap: bool = True,
+                             base=None):
+    """Assemble base reader + filter + remap (reference run.py:78-96 switch +
+    per-dataset Incremental classes). `base` injects a prebuilt reader
+    (e.g. SyntheticSegmentation) for tests."""
+    labels = list(labels)
+    labels_old = list(labels_old or [])
+    if base is None:
+        if dataset == "voc":
+            base = VOCSegmentation(root, "train" if train else "val")
+        elif dataset == "ade":
+            base = AdeSegmentation(root, train)
+        elif dataset == "city":
+            base = CitySegmentation(root, train)
+        else:
+            raise NotImplementedError(dataset)
+
+    new = strip_zero(labels)
+    old = strip_zero(labels_old)
+    assert not set(new) & set(old), "labels and labels_old must be disjoint"
+
+    idxs = load_or_compute_idxs(
+        idxs_path,
+        lambda: filter_images((base.get_mask(i) for i in range(len(base))),
+                              new, old, overlap=overlap))
+
+    if dataset == "ade":
+        lut = ade_remap_lut(new, old, masking=masking)
+    elif dataset == "city":
+        lut = city_remap_lut(new, old, train=train, masking=masking)
+    else:
+        lut = voc_remap_lut(new, old, masking=masking)
+    return Subset(base, idxs, transform, lut)

@@ -1,0 +1,92 @@
+"""Batched data loading with per-epoch shuffling and multi-host sharding.
+
+Replaces torch DataLoader + DistributedSampler (reference run.py:147-152):
+each host reads its contiguous shard of the epoch permutation
+(`process_index`-based, SURVEY.md §5.8) and yields NHWC numpy batches ready
+for `jax.device_put` onto the mesh. Drop-last semantics match the reference
+train loader."""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.process_count
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        """DistributedSampler.set_epoch equivalent (reference train.py:92):
+        epoch-seeded permutation, per-host contiguous shard."""
+        rng = np.random.default_rng(self.seed + epoch)
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        per_host = len(order) // self.process_count
+        order = order[self.process_index * per_host:
+                      (self.process_index + 1) * per_host]
+
+        n_batches = len(self)
+        for b in range(n_batches):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if len(idxs) == 0:
+                break
+            imgs, lbls = [], []
+            for i in idxs:
+                item_rng = np.random.default_rng(
+                    (self.seed, epoch, int(i)))
+                if hasattr(self.dataset, "get"):
+                    img, lbl = self.dataset.get(int(i), item_rng)
+                else:
+                    img, lbl = self.dataset[int(i)]
+                imgs.append(img)
+                lbls.append(lbl)
+            yield {
+                "image": np.stack(imgs).astype(np.float32),
+                "label": np.stack(lbls).astype(np.int32),
+            }
+
+
+def split_train_val(dataset, val_frac: float = 0.2, seed: int = 42):
+    """80/20 random split (reference run.py:98-106 random_split)."""
+    n = len(dataset)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    n_train = int((1 - val_frac) * n)
+    return _Delegate(dataset, order[:n_train]), _Delegate(dataset, order[n_train:])
+
+
+class _Delegate:
+    """Index-remapped view over an already-transformed dataset."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(int(i) for i in indices)
+
+    def get(self, idx, rng=None):
+        if hasattr(self.dataset, "get"):
+            return self.dataset.get(self.indices[idx], rng)
+        return self.dataset[self.indices[idx]]
+
+    def __getitem__(self, idx):
+        return self.get(idx)
+
+    def __len__(self):
+        return len(self.indices)

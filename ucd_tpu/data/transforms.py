@@ -1,0 +1,211 @@
+"""Paired image/label transforms (host-side, numpy/PIL).
+
+Rebuild of /root/reference/dataset/transform.py:21-663: every transform takes
+an (image, label) pair; geometric ops use NEAREST for labels. The train
+pipeline (reference run.py:49-55) is RandomResizedCrop(crop, scale=(0.5,2.0))
+-> RandomHorizontalFlip -> ToTensor -> Normalize(ImageNet); the val pipeline
+Resize -> CenterCrop -> ToTensor -> Normalize.
+
+Differences from the reference by design: output is NHWC float32 numpy (JAX
+layout) rather than NCHW torch tensors, and randomness flows through an
+explicit np.random.Generator (reproducible, no global state).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image
+    HAS_PIL = True
+except ImportError:  # pragma: no cover
+    HAS_PIL = False
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _to_pil(img: np.ndarray, mode=None):
+    return Image.fromarray(img, mode=mode)
+
+
+def _resize_pair(img: np.ndarray, lbl: np.ndarray, size: tuple[int, int]):
+    """size = (h, w); bilinear for image, nearest for label."""
+    h, w = size
+    im = _to_pil(img).resize((w, h), Image.BILINEAR)
+    lb = _to_pil(lbl).resize((w, h), Image.NEAREST)
+    return np.asarray(im), np.asarray(lb)
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, img, lbl, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        for t in self.transforms:
+            img, lbl = t(img, lbl, rng)
+        return img, lbl
+
+
+class Resize:
+    """Resize the shorter side to `size` keeping aspect ratio
+    (torchvision semantics used by reference run.py:59)."""
+
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, img, lbl, rng=None):
+        h, w = img.shape[:2]
+        if h <= w:
+            nh, nw = self.size, max(1, int(round(w * self.size / h)))
+        else:
+            nh, nw = max(1, int(round(h * self.size / w))), self.size
+        return _resize_pair(img, lbl, (nh, nw))
+
+
+class CenterCrop:
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, img, lbl, rng=None):
+        s = self.size
+        h, w = img.shape[:2]
+        if h < s or w < s:
+            img, lbl = _pad_to(img, lbl, s)
+            h, w = img.shape[:2]
+        top, left = (h - s) // 2, (w - s) // 2
+        return (img[top:top + s, left:left + s],
+                lbl[top:top + s, left:left + s])
+
+
+def _pad_to(img, lbl, size: int, fill_lbl: int = 255):
+    h, w = img.shape[:2]
+    ph, pw = max(0, size - h), max(0, size - w)
+    if ph == 0 and pw == 0:
+        return img, lbl
+    img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="constant")
+    lbl = np.pad(lbl, ((0, ph), (0, pw)), mode="constant",
+                 constant_values=fill_lbl)
+    return img, lbl
+
+
+class RandomHorizontalFlip:
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, img, lbl, rng):
+        if rng.random() < self.p:
+            return img[:, ::-1].copy(), lbl[:, ::-1].copy()
+        return img, lbl
+
+
+class RandomVerticalFlip:
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, img, lbl, rng):
+        if rng.random() < self.p:
+            return img[::-1].copy(), lbl[::-1].copy()
+        return img, lbl
+
+
+class RandomCrop:
+    def __init__(self, size: int, pad_if_needed: bool = True):
+        self.size = size
+        self.pad_if_needed = pad_if_needed
+
+    def __call__(self, img, lbl, rng):
+        s = self.size
+        if self.pad_if_needed:
+            img, lbl = _pad_to(img, lbl, s)
+        h, w = img.shape[:2]
+        top = int(rng.integers(0, h - s + 1))
+        left = int(rng.integers(0, w - s + 1))
+        return (img[top:top + s, left:left + s],
+                lbl[top:top + s, left:left + s])
+
+
+class RandomResizedCrop:
+    """torchvision RandomResizedCrop semantics (reference
+    dataset/transform.py RandomResizedCrop; run.py:50 uses
+    scale=(0.5, 2.0), ratio defaults (3/4, 4/3))."""
+
+    def __init__(self, size: int, scale=(0.5, 2.0), ratio=(3 / 4, 4 / 3)):
+        self.size = size
+        self.scale = scale
+        self.ratio = ratio
+
+    def __call__(self, img, lbl, rng):
+        h, w = img.shape[:2]
+        area = h * w
+        for _ in range(10):
+            target_area = area * rng.uniform(*self.scale)
+            log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+            aspect = math.exp(rng.uniform(*log_ratio))
+            cw = int(round(math.sqrt(target_area * aspect)))
+            ch = int(round(math.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                top = int(rng.integers(0, h - ch + 1))
+                left = int(rng.integers(0, w - cw + 1))
+                crop_i = img[top:top + ch, left:left + cw]
+                crop_l = lbl[top:top + ch, left:left + cw]
+                return _resize_pair(crop_i, crop_l, (self.size, self.size))
+        # fallback: center crop of the shorter side
+        in_ratio = w / h
+        if in_ratio < self.ratio[0]:
+            cw, ch = w, int(round(w / self.ratio[0]))
+        elif in_ratio > self.ratio[1]:
+            ch, cw = h, int(round(h * self.ratio[1]))
+        else:
+            cw, ch = w, h
+        top, left = (h - ch) // 2, (w - cw) // 2
+        return _resize_pair(img[top:top + ch, left:left + cw],
+                            lbl[top:top + ch, left:left + cw],
+                            (self.size, self.size))
+
+
+class ToTensorNormalize:
+    """uint8 HWC -> float32 HWC in [0,1], ImageNet-normalized; label int32.
+    (reference run.py:51-54 ToTensor+Normalize, NHWC instead of NCHW)."""
+
+    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, img, lbl, rng=None):
+        img = img.astype(np.float32) / 255.0
+        img = (img - self.mean) / self.std
+        return img, lbl.astype(np.int32)
+
+
+def train_transform(crop_size: int) -> Compose:
+    """reference run.py:49-55."""
+    return Compose([
+        RandomResizedCrop(crop_size, (0.5, 2.0)),
+        RandomHorizontalFlip(),
+        ToTensorNormalize(),
+    ])
+
+
+def val_transform(crop_size: Optional[int]) -> Compose:
+    """reference run.py:57-73 (crop_val)."""
+    ts = []
+    if crop_size is not None:
+        ts += [Resize(crop_size), CenterCrop(crop_size)]
+    ts.append(ToTensorNormalize())
+    return Compose(ts)
+
+
+class Denormalize:
+    """reference utils/utils.py Denormalize (for visualization)."""
+
+    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, img):
+        return np.clip(img * self.std + self.mean, 0, 1)

@@ -1,0 +1,142 @@
+"""Dilated ResNet backbone (Flax/NHWC).
+
+TPU-native rebuild of the reference ResNet body (reference models/resnet.py:11-136
+and modules/residual.py:7-97): mod1 stem (7x7 s2 + ABN + maxpool s2) followed by
+four groups of bottleneck blocks, with dilation replacing stride in the late
+groups for output stride 8/16 (`jax.lax` rhs_dilation under the hood via
+`nn.Conv(kernel_dilation=...)`).
+
+Module/parameter names deliberately mirror the torch state-dict layout
+(`mod2.block1.convs.conv1` -> flax path mod2/block1/conv1) so the pretrained
+inplace-abn checkpoint converts by pure name mapping.
+
+Residual block contract (reference modules/residual.py:84-97): the final norm
+of the main path and the projection shortcut use identity activation; the
+post-add activation is leaky_relu(0.01) read from the block's norm config.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ABN, conv
+
+STRUCTURES = {
+    "resnet18": ([2, 2, 2, 2], False),
+    "resnet34": ([3, 4, 6, 3], False),
+    "resnet50": ([3, 4, 6, 3], True),
+    "resnet101": ([3, 4, 23, 3], True),
+    "resnet152": ([3, 8, 36, 3], True),
+}
+
+
+class ResidualBlock(nn.Module):
+    """Bottleneck (1x1 -> 3x3 -> 1x1) or basic (3x3 -> 3x3) residual block."""
+
+    channels: Sequence[int]
+    stride: int = 1
+    dilation: int = 1
+    activation_param: float = 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ch = tuple(self.channels)
+        is_bottleneck = len(ch) == 3
+        out_ch = ch[-1]
+        need_proj = self.stride != 1 or x.shape[-1] != out_ch
+
+        if need_proj:
+            residual = conv(out_ch, 1, self.stride, dtype=self.dtype,
+                            name="proj_conv")(x)
+            residual = ABN(activation="identity", dtype=self.dtype,
+                           name="proj_bn")(residual, train)
+        else:
+            residual = x
+
+        if is_bottleneck:
+            y = conv(ch[0], 1, 1, dtype=self.dtype, name="conv1")(x)
+            y = ABN(activation_param=self.activation_param, dtype=self.dtype,
+                    name="bn1")(y, train)
+            y = conv(ch[1], 3, self.stride, self.dilation, dtype=self.dtype,
+                     name="conv2")(y)
+            y = ABN(activation_param=self.activation_param, dtype=self.dtype,
+                    name="bn2")(y, train)
+            y = conv(ch[2], 1, 1, dtype=self.dtype, name="conv3")(y)
+            y = ABN(activation="identity", dtype=self.dtype, name="bn3")(y, train)
+        else:
+            y = conv(ch[0], 3, self.stride, self.dilation, dtype=self.dtype,
+                     name="conv1")(x)
+            y = ABN(activation_param=self.activation_param, dtype=self.dtype,
+                    name="bn1")(y, train)
+            y = conv(ch[1], 3, 1, self.dilation, dtype=self.dtype,
+                     name="conv2")(y)
+            y = ABN(activation="identity", dtype=self.dtype, name="bn2")(y, train)
+
+        y = y + residual
+        return nn.leaky_relu(y, self.activation_param)
+
+
+class ResNet(nn.Module):
+    """Four-group dilated ResNet; output stride 8 or 16.
+
+    output_stride 16 -> dilation [1,1,1,2]; 8 -> [1,1,2,4]
+    (reference models/resnet.py:48-53). Stride 2 at the first block of a group
+    when its dilation is 1 and it is not the first group
+    (reference models/resnet.py:100-104).
+    """
+
+    structure: Sequence[int] = (3, 4, 23, 3)
+    bottleneck: bool = True
+    output_stride: int = 16
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def out_channels(self) -> int:
+        base = 256 if self.bottleneck else 64
+        return base * 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.output_stride == 16:
+            dilation = [1, 1, 1, 2]
+        elif self.output_stride == 8:
+            dilation = [1, 1, 2, 4]
+        else:
+            raise ValueError("output stride must be 8 or 16")
+
+        # stem: mod1
+        y = conv(64, 7, 2, dtype=self.dtype, name="mod1_conv1")(x)
+        y = ABN(dtype=self.dtype, name="mod1_bn1")(y, train)
+        if dilation[0] == 1:
+            y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        channels = (64, 64, 256) if self.bottleneck else (64, 64)
+        block_cls = ResidualBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualBlock, static_argnums=(2,))
+        for mod_id, num in enumerate(self.structure):
+            d = dilation[mod_id]
+            for block_id in range(num):
+                stride = 2 if d == 1 and block_id == 0 and mod_id > 0 else 1
+                y = block_cls(
+                    channels=channels,
+                    stride=stride,
+                    dilation=d,
+                    dtype=self.dtype,
+                    name=f"mod{mod_id + 2}_block{block_id + 1}",
+                )(y, train)
+            channels = tuple(c * 2 for c in channels)
+
+        return y
+
+
+def make_backbone(name: str, output_stride: int, dtype=jnp.float32,
+                  remat: bool = False) -> ResNet:
+    structure, bottleneck = STRUCTURES[name]
+    return ResNet(structure=structure, bottleneck=bottleneck,
+                  output_stride=output_stride, dtype=dtype, remat=remat)

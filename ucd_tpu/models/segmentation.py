@@ -1,0 +1,185 @@
+"""Incremental segmentation model: ResNet body -> DeepLab-v3 head -> per-step
+classifiers, plus the MiB balanced-initialization rule and freezing masks.
+
+Rebuild of `IncrementalSegmentationModule` (reference segmentation_module.py:63-143)
+as a functional Flax module. Differences by design:
+
+  * per-step classifiers are separate 1x1 convs `cls_{i}` whose outputs are
+    concatenated on the channel axis (reference segmentation_module.py:72-74,
+    95-108) — growth across steps is a new param subtree, so cross-step
+    restore is a partial param-tree merge, not a strict=False hack;
+  * `init_new_classifier` / freezing operate on param trees as pure functions
+    (no in-place mutation);
+  * classifier 0 is frozen only when step > 0 — the reference freezes it
+    always, even at step 0 (defect, SURVEY.md §2.6-4); pass
+    `freeze_cls0_always=True` for bug-compatible behaviour;
+  * spatial attention (att_map) is applied to body/pre_logits features
+    exactly as reference segmentation_module.py:86-94.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .deeplab import DeeplabV3
+
+
+def att_map(x: jnp.ndarray) -> jnp.ndarray:
+    """Detached spatial attention: a = sum_c x^2 / ||sum_c x^2||_F, x <- a*x
+    (reference segmentation_module.py:86-94). NHWC layout."""
+    a = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)  # B,H,W
+    norm = jnp.sqrt(jnp.sum(a**2, axis=(1, 2), keepdims=True))
+    a = a / jnp.maximum(norm, 1e-12)
+    return (jax.lax.stop_gradient(a)[..., None] * x.astype(jnp.float32)).astype(x.dtype)
+
+
+def resize_bilinear(x: jnp.ndarray, size) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers == torch interpolate
+    align_corners=False (reference segmentation_module.py:133)."""
+    out_shape = (x.shape[0], size[0], size[1], x.shape[-1])
+    return jax.image.resize(x.astype(jnp.float32), out_shape, method="linear")
+
+
+class IncrementalSegmentationModel(nn.Module):
+    classes: Sequence[int]
+    backbone: str = "resnet101"
+    output_stride: int = 16
+    head_channels: int = 256
+    pooling_size: int = 32
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, fix_bn: bool = False):
+        """Returns (sem_logits upsampled to input size, feature dict)."""
+        bn_train = train and not fix_bn
+        x = x.astype(self.dtype)
+        from .resnet import STRUCTURES, ResNet
+        structure, bottleneck = STRUCTURES[self.backbone]
+        body = ResNet(structure=structure, bottleneck=bottleneck,
+                      output_stride=self.output_stride, dtype=self.dtype,
+                      remat=self.remat, name="body")
+        x_b = body(x, bn_train)
+        head = DeeplabV3(out_channels=self.head_channels,
+                         hidden_channels=256,
+                         out_stride=self.output_stride,
+                         pooling_size=self.pooling_size,
+                         dtype=self.dtype,
+                         name="head")
+        x_pl = head(x_b, bn_train)
+
+        outs = []
+        for i, c in enumerate(self.classes):
+            outs.append(
+                nn.Conv(c, (1, 1), use_bias=True, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name=f"cls_{i}")(
+                            x_pl.astype(jnp.float32)))
+        sem = jnp.concatenate(outs, axis=-1)  # B,h,w,sum(classes)
+
+        x_b_att = att_map(x_b)
+        x_pl_att = att_map(x_pl)
+
+        sem_logits = resize_bilinear(sem, (x.shape[1], x.shape[2]))
+        return sem_logits, {"body": x_b_att, "pre_logits": x_pl_att, "sem": sem}
+
+
+def make_model(cfg, classes: Sequence[int] | None = None) -> IncrementalSegmentationModel:
+    """Build the flagship model from a Config (reference segmentation_module.py:14-53,
+    with the --no_pretrained NameError fixed: pretrained loading is a separate
+    step in `pretrained.load_pretrained_body`)."""
+    import jax.numpy as _jnp
+
+    dtype = {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32}[cfg.dtype]
+    return IncrementalSegmentationModel(
+        classes=tuple(classes if classes is not None else cfg.classes_per_step),
+        backbone=cfg.backbone,
+        output_stride=cfg.output_stride,
+        head_channels=cfg.head_channels,
+        pooling_size=cfg.pooling,
+        dtype=dtype,
+        remat=cfg.remat,
+    )
+
+
+# ---------------------------------------------------------------------------
+# param-tree surgery: incremental growth, imprinting, freezing
+# ---------------------------------------------------------------------------
+
+def init_new_classifier(params, new_classes: int):
+    """MiB background imprinting (reference segmentation_module.py:111-123).
+
+    new cls kernel <- background column of cls_0's kernel (broadcast);
+    new cls bias   <- bkg_bias - log(new_classes + 1);
+    cls_0 bias[0]  <- same adjusted value.
+    Pure function: returns an updated copy of `params`.
+    """
+    params = jax.tree_util.tree_map(lambda p: p, params)  # shallow copy tree
+    n_steps = len([k for k in params if k.startswith("cls_")])
+    last = f"cls_{n_steps - 1}"
+    cls0 = params["cls_0"]
+    bkg_kernel = cls0["kernel"][..., 0:1]        # (1,1,256,1)
+    bkg_bias = cls0["bias"][0]
+    bias_diff = jnp.log(jnp.array(new_classes + 1, jnp.float32))
+    new_bias = bkg_bias - bias_diff
+
+    new_cls = dict(params[last])
+    new_cls["kernel"] = jnp.broadcast_to(
+        bkg_kernel, params[last]["kernel"].shape).astype(
+            params[last]["kernel"].dtype)
+    new_cls["bias"] = jnp.full_like(params[last]["bias"], new_bias)
+    params = dict(params)
+    params[last] = new_cls
+
+    cls0_new = dict(cls0)
+    cls0_new["bias"] = jnp.asarray(cls0["bias"]).at[0].set(new_bias)
+    params["cls_0"] = cls0_new
+    return params
+
+
+def merge_old_params(new_params, old_params):
+    """Cross-step restore: copy every leaf of `old_params` that exists in
+    `new_params` (body, head, cls_0..cls_{k-1}); newly-added classifier leaves
+    keep their fresh init. Equivalent to torch load_state_dict(strict=False)
+    (reference run.py:217)."""
+    def merge(new_tree, old_tree):
+        if isinstance(new_tree, dict):
+            out = {}
+            for k, v in new_tree.items():
+                if isinstance(old_tree, dict) and k in old_tree:
+                    out[k] = merge(v, old_tree[k])
+                else:
+                    out[k] = v
+            return out
+        return old_tree if old_tree is not None else new_tree
+
+    return merge(new_params, old_params)
+
+
+def trainable_mask(params, step: int, freeze_body: bool = False,
+                   fix_bn: bool = False, freeze_cls0_always: bool = False):
+    """Boolean pytree: True where the leaf is trainable.
+
+    - cls_0 frozen for step > 0 (or always, bug-compatible mode)
+      (reference segmentation_module.py:75-78);
+    - body frozen under --freeze (reference run.py:176-178);
+    - BN affine params frozen under fix_bn (reference segmentation_module.py:138-143).
+    """
+    freeze_cls0 = freeze_cls0_always or step > 0
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        top = path[0] if path else ""
+        if freeze_cls0 and top == "cls_0":
+            return False
+        if freeze_body and not (top == "head" or top.startswith("cls_")):
+            return False
+        if fix_bn and "bn" in path:
+            return False
+        return True
+
+    return walk(params, ())

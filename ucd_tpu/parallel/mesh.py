@@ -1,0 +1,48 @@
+"""Device mesh and sharding helpers.
+
+TPU-native replacement of the reference's distributed substrate
+(torch.distributed/NCCL + apex DDP, /root/reference/run.py:117-124,204 and
+SURVEY.md §2.4): a 1-D data-parallel mesh over ICI. Gradients, sync-BN batch
+statistics and the eval confusion matrix all reduce through XLA collectives
+inserted by the SPMD partitioner — there are no explicit allreduce calls
+anywhere in the framework. Multislice scale-out (DCN) needs no code change:
+data parallelism's single gradient all-reduce per step is DCN-tolerant.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D data mesh over all (or the first n) local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place host arrays onto the mesh, batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
