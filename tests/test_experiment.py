@@ -1,0 +1,97 @@
+"""Experiment orchestration end-to-end on synthetic data: full step-0 run
+(train/val/ckpt/test), then step 1 picking up the step-0 checkpoint — the
+reference's run.py flow in one process (SURVEY.md §7)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ucd_tpu import config
+from ucd_tpu.data import SyntheticSegmentation
+from ucd_tpu.engine.experiment import Experiment, get_datasets
+from ucd_tpu.utils.reporting import aggregate_csv, format_report, write_step_csv
+
+SIZE = 32
+
+
+def make_cfg(tmp_path, step=0, method="FT", **kw):
+    base = dict(dataset="voc", task="19-1", step=step, method=method,
+                backbone="resnet50", crop_size=SIZE, batch_size=4,
+                dtype="float32", lr=0.01, epochs=1, print_interval=2,
+                logdir=str(tmp_path / "logs"),
+                ckpt_dir=str(tmp_path / "ckpt"),
+                use_pallas_contrastive=False, contrastive_capacity=32)
+    base.update(kw)
+    return config.make_config(**base)
+
+
+@pytest.fixture
+def bases():
+    return (SyntheticSegmentation(n=24, size=SIZE, n_classes=20, seed=0),
+            SyntheticSegmentation(n=8, size=SIZE, n_classes=20, seed=1))
+
+
+def test_two_step_experiment(tmp_path, bases):
+    base_train, base_val = bases
+    cfg0 = make_cfg(tmp_path, step=0)
+    exp0 = Experiment(cfg0, base_train=base_train, base_val=base_val)
+    exp0.run()
+    score0 = exp0.final_test()
+    assert 0.0 <= score0["Mean IoU"] <= 1.0
+    assert os.path.exists(cfg0.ckpt_path())
+
+    # metrics stream written
+    mfile = os.path.join(cfg0.logdir, cfg0.task_name, cfg0.name,
+                         "metrics.jsonl")
+    assert os.path.exists(mfile) and os.path.getsize(mfile) > 0
+
+    # step 1: UCD picks up the step-0 checkpoint automatically
+    base_train1 = SyntheticSegmentation(n=24, size=SIZE, n_classes=21, seed=2)
+    cfg1 = make_cfg(tmp_path, step=1, method="UCD")
+    exp1 = Experiment(cfg1, base_train=base_train1, base_val=base_val)
+    assert exp1.old_vars is not None
+    assert "cls_1" in exp1.state.params
+    exp1.run()
+    score1 = exp1.final_test()
+    assert np.isfinite(score1["Mean IoU"])
+
+    # per-step CSV + aggregation (average_csv equivalent)
+    csv_path = str(tmp_path / "results.csv")
+    write_step_csv(csv_path, 0, score0["Class IoU"])
+    write_step_csv(csv_path, 1, score1["Class IoU"])
+    agg = aggregate_csv(csv_path, first_classes=19)
+    assert "final_miou" in agg and len(agg["per_step_miou"]) == 2
+    assert "Final mIoU" in format_report(agg)
+
+
+def test_missing_step_ckpt_raises(tmp_path, bases):
+    base_train, base_val = bases
+    cfg1 = make_cfg(tmp_path, step=1, method="UCD")
+    with pytest.raises(FileNotFoundError):
+        Experiment(cfg1, base_train=base_train, base_val=base_val)
+
+
+def test_get_datasets_split(bases):
+    base_train, base_val = bases
+    cfg = make_cfg.__wrapped__ if hasattr(make_cfg, "__wrapped__") else None
+    cfg = config.make_config(dataset="voc", task="19-1", step=0,
+                             crop_size=SIZE, cross_val=False)
+    tr, va, te, n_cum = get_datasets(cfg, base_train=base_train,
+                                     base_val=base_val)
+    assert len(tr) + len(va) == 24 or len(tr) + len(va) <= 24
+    assert n_cum == 21
+
+
+def test_cli_config_roundtrip():
+    from ucd_tpu.cli import build_parser, config_from_args
+    args = build_parser().parse_args(
+        ["train", "--dataset", "voc", "--task", "15-5s", "--step", "1",
+         "--method", "UCD", "--batch_size", "8", "--overlap"])
+    cfg = config_from_args(args)
+    assert cfg.step == 1 and cfg.contrastive and cfg.unce and cfg.unkd
+    assert cfg.loss_kd == 10.0 and cfg.overlap
+    assert cfg.batch_size == 8

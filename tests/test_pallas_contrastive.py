@@ -1,0 +1,80 @@
+"""Pallas contrastive kernel vs the dense jnp reference implementation
+(interpret mode on CPU; SURVEY.md §7 testing strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ucd_tpu.ops.contrastive import (
+    build_contrastive_batch,
+    pixel_contrastive_loss,
+)
+from ucd_tpu.ops.pallas_contrastive import pixel_contrastive_loss_pallas
+
+TAU = 0.07
+
+
+def make_batch(rng, B=2, H=32, W=32, h=8, w=8, N=16, C=6, max_label=5,
+               with_ignore=True):
+    f_n = rng.randn(B, h, w, N).astype(np.float32)
+    f_o = rng.randn(B, h, w, N).astype(np.float32)
+    l_po = rng.randn(B, h, w, C).astype(np.float32) * 3
+    labels = rng.randint(0, max_label + 1, size=(B, H, W)).astype(np.int32)
+    if with_ignore:
+        labels[0, :6, :6] = 255
+    return build_contrastive_batch(jnp.array(f_n), jnp.array(labels),
+                                   jnp.array(l_po), jnp.array(f_o), max_label)
+
+
+def test_forward_matches_dense(rng):
+    batch = make_batch(rng)
+    dense = pixel_contrastive_loss(batch, TAU)
+    kernel = pixel_contrastive_loss_pallas(batch, TAU, interpret=True)
+    np.testing.assert_allclose(float(kernel), float(dense), rtol=1e-5)
+
+
+def test_forward_matches_dense_nonaligned_sizes(rng):
+    # P=2*5*5=50 (not a multiple of the 256 tile), C=7 (not 128-aligned)
+    batch = make_batch(rng, B=2, H=20, W=20, h=5, w=5, N=8, C=7)
+    dense = pixel_contrastive_loss(batch, TAU)
+    kernel = pixel_contrastive_loss_pallas(batch, TAU, interpret=True)
+    np.testing.assert_allclose(float(kernel), float(dense), rtol=1e-5)
+
+
+def test_gradient_matches_dense(rng):
+    batch = make_batch(rng, B=1, H=16, W=16, h=4, w=4, N=8, C=5)
+
+    g_dense = jax.grad(
+        lambda af: pixel_contrastive_loss(batch._replace(anchor_feat=af), TAU)
+    )(batch.anchor_feat)
+    g_kernel = jax.grad(
+        lambda af: pixel_contrastive_loss_pallas(
+            batch._replace(anchor_feat=af), TAU, interpret=True)
+    )(batch.anchor_feat)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_dense),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_no_valid_anchors_finite(rng):
+    f = jnp.zeros((1, 4, 4, 8))
+    l_po = jnp.array(rng.randn(1, 4, 4, 5), jnp.float32)
+    labels = jnp.zeros((1, 16, 16), jnp.int32)
+    batch = build_contrastive_batch(f, labels, l_po, f, 5)
+    # old-model argmax can still pseudo-label pixels; just require finiteness
+    loss = pixel_contrastive_loss_pallas(batch, TAU, interpret=True)
+    assert np.isfinite(float(loss))
+
+
+def test_under_jit_and_grad(rng):
+    batch = make_batch(rng, B=1, H=16, W=16, h=4, w=4, N=8, C=5)
+
+    @jax.jit
+    def f(af):
+        return pixel_contrastive_loss_pallas(
+            batch._replace(anchor_feat=af), TAU, interpret=True)
+
+    loss, grad = jax.value_and_grad(f)(batch.anchor_feat)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(grad)).all()

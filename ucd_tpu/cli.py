@@ -1,0 +1,186 @@
+"""Command-line interface.
+
+Rebuild of the reference's argparse surface (argparser.py:46-203) mapped onto
+the Config dataclass, with three subcommands:
+
+  train      one incremental step (reference run.py)
+  test       eval-only on a checkpoint (reference test.py)
+  run-task   NEW: run ALL steps of an incremental task in one command
+             (the reference requires one torch.distributed.launch per step)
+
+Flag names keep the reference's spelling (--loss_kd, --unce, ...) so existing
+experiment scripts translate mechanically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from . import tasks as task_registry
+from .config import Config, apply_method
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ucd_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+    for name in ("train", "test", "run-task"):
+        sp = sub.add_parser(name)
+        _add_common(sp)
+    return p
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    f = dataclasses.fields(Config)
+    defaults = {x.name: x.default for x in f}
+
+    p.add_argument("--dataset", choices=["voc", "ade", "city"],
+                   default="voc")
+    p.add_argument("--task", default="19-1",
+                   choices=task_registry.get_task_list())
+    p.add_argument("--step", type=int, default=0)
+    p.add_argument("--method", default=None,
+                   choices=["FT", "LWF", "LWF-MC", "ILT", "EWC", "RW", "PI",
+                            "MiB", "UCD"])
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--overlap", action="store_true", default=False)
+    p.add_argument("--no_mask", action="store_true", default=False)
+    p.add_argument("--cross_val", action="store_true", default=False)
+
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("--crop_size", type=int, default=512)
+    p.add_argument("--lr", type=float, default=0.007)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--lr_policy", choices=["poly", "step"], default="poly")
+    p.add_argument("--lr_power", type=float, default=0.9)
+    p.add_argument("--lr_decay_step", type=int, default=5000)
+    p.add_argument("--lr_decay_factor", type=float, default=0.1)
+    p.add_argument("--random_seed", type=int, default=42)
+    p.add_argument("--freeze", action="store_true", default=False)
+    p.add_argument("--fix_bn", action="store_true", default=False)
+
+    p.add_argument("--backbone", choices=["resnet50", "resnet101"],
+                   default="resnet101")
+    p.add_argument("--output_stride", type=int, choices=[8, 16], default=16)
+    p.add_argument("--no_pretrained", action="store_true", default=False)
+    p.add_argument("--pretrained_path", default=None)
+    p.add_argument("--norm_act", default="iabn_sync",
+                   choices=["iabn_sync", "iabn", "abn", "std"])
+    p.add_argument("--pooling", type=int, default=32)
+    p.add_argument("--dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16")
+    p.add_argument("--remat", action="store_true", default=False)
+
+    p.add_argument("--bce", action="store_true", default=False)
+    p.add_argument("--unce", action="store_true", default=False)
+    p.add_argument("--unkd", action="store_true", default=False)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--loss_kd", type=float, default=0.0)
+    p.add_argument("--loss_de", type=float, default=0.0)
+    p.add_argument("--contrastive", action="store_true", default=False)
+    p.add_argument("--temperature", type=float, default=0.07)
+    p.add_argument("--contrastive_capacity", type=int,
+                   default=defaults["contrastive_capacity"])
+    p.add_argument("--no_pallas", action="store_true", default=False)
+    p.add_argument("--icarl", action="store_true", default=False)
+    p.add_argument("--icarl_importance", type=float, default=1.0)
+    p.add_argument("--icarl_disjoint", action="store_true", default=False)
+    p.add_argument("--icarl_bkg", action="store_true", default=False)
+    p.add_argument("--init_balanced", action="store_true", default=False)
+
+    p.add_argument("--regularizer", choices=["ewc", "pi", "rw"], default=None)
+    p.add_argument("--reg_importance", type=float, default=1.0)
+    p.add_argument("--reg_alpha", type=float, default=0.9)
+    p.add_argument("--reg_no_normalize", action="store_true", default=False)
+    p.add_argument("--reg_iterations", type=int, default=10)
+
+    p.add_argument("--crop_val", action="store_false", default=True)
+    p.add_argument("--val_interval", type=int, default=1)
+    p.add_argument("--print_interval", type=int, default=10)
+    p.add_argument("--logdir", default="./logs")
+    p.add_argument("--name", default="Experiment")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--step_ckpt", default=None)
+    p.add_argument("--ckpt_dir", default="checkpoints/step")
+    p.add_argument("--test", dest="test_only", action="store_true",
+                   default=False)
+    p.add_argument("--sample_num", type=int, default=0)
+    p.add_argument("--debug", action="store_true", default=False)
+    p.add_argument("--profile_dir", default=None)
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    cfg = Config(
+        dataset=args.dataset, task=args.task, step=args.step,
+        overlap=args.overlap, masking=not args.no_mask,
+        data_root=args.data_root, cross_val=args.cross_val,
+        method=args.method,
+        epochs=args.epochs, batch_size=args.batch_size,
+        crop_size=args.crop_size, lr=args.lr, momentum=args.momentum,
+        weight_decay=args.weight_decay, lr_policy=args.lr_policy,
+        lr_power=args.lr_power, lr_decay_step=args.lr_decay_step,
+        lr_decay_factor=args.lr_decay_factor, random_seed=args.random_seed,
+        fix_bn=args.fix_bn, freeze=args.freeze,
+        backbone=args.backbone, output_stride=args.output_stride,
+        pretrained=not args.no_pretrained,
+        pretrained_path=args.pretrained_path, norm_act=args.norm_act,
+        pooling=args.pooling, dtype=args.dtype, remat=args.remat,
+        bce=args.bce, unce=args.unce, unkd=args.unkd, alpha=args.alpha,
+        loss_kd=args.loss_kd, loss_de=args.loss_de,
+        contrastive=args.contrastive, temperature=args.temperature,
+        contrastive_capacity=args.contrastive_capacity,
+        use_pallas_contrastive=not args.no_pallas,
+        icarl=args.icarl, icarl_importance=args.icarl_importance,
+        icarl_disjoint=args.icarl_disjoint, icarl_bkg=args.icarl_bkg,
+        init_balanced=args.init_balanced,
+        regularizer=args.regularizer, reg_importance=args.reg_importance,
+        reg_alpha=args.reg_alpha, reg_normalize=not args.reg_no_normalize,
+        reg_iterations=args.reg_iterations,
+        crop_val=args.crop_val, val_interval=args.val_interval,
+        print_interval=args.print_interval, logdir=args.logdir,
+        name=args.name, ckpt=args.ckpt, step_ckpt=args.step_ckpt,
+        ckpt_dir=args.ckpt_dir, test_only=args.test_only,
+        sample_num=args.sample_num, debug=args.debug,
+    )
+    return apply_method(cfg).validate()
+
+
+def _run_one_step(cfg: Config, profile_dir=None):
+    from .engine.experiment import Experiment
+    from .utils.reporting import write_step_csv
+
+    exp = Experiment(cfg)
+    exp.run(profile_dir=profile_dir)
+    score = exp.final_test()
+    csv_path = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}/results.csv"
+    write_step_csv(csv_path, cfg.step, score["Class IoU"])
+    print(json.dumps({"step": cfg.step, "mean_iou": score["Mean IoU"]}))
+    return score
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    if args.command == "train":
+        _run_one_step(cfg, args.profile_dir)
+    elif args.command == "test":
+        cfg = dataclasses.replace(cfg, test_only=True)
+        _run_one_step(cfg)
+    elif args.command == "run-task":
+        # all steps of the task in one process (improvement over the
+        # reference's one-launch-per-step, SURVEY.md §7 item 8)
+        n_steps = task_registry.num_steps(cfg.dataset, cfg.task)
+        for step in range(cfg.step, n_steps):
+            step_cfg = dataclasses.replace(cfg, step=step)
+            step_cfg = step_cfg.validate()
+            _run_one_step(step_cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,294 @@
+"""Experiment orchestration: dataset assembly, the epoch loop, validation,
+checkpointing and the final all-classes test.
+
+Rebuild of the reference entry point flow (/root/reference/run.py:46-401):
+get_dataset -> model + frozen donor -> optimizer/schedule -> cross-step
+restore (+ MiB imprinting) -> epoch loop (train, validate, save-best) ->
+final test on all seen classes. TPU-first differences:
+
+  * one process drives the whole mesh (no per-GPU process launch); batches
+    are host-sharded onto the mesh, state is replicated;
+  * the train step is a single jitted function (engine/train.py) — sync-BN,
+    gradient averaging and loss reduction are SPMD collectives, so there is
+    no rank-0 special casing anywhere in the loop;
+  * per-step timing and an optional jax.profiler trace are first-class
+    (the reference has no profiling at all, SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import tasks as task_registry
+from ..config import Config
+from ..data import DataLoader, make_incremental_dataset, split_train_val
+from ..data.transforms import train_transform, val_transform
+from ..models import make_model
+from ..ops import regularizers as R
+from ..parallel import batch_sharding, make_mesh_for_batch, replicated
+from . import checkpoint as ckpt_lib
+from .logger import Logger
+from .metrics import empty_confusion, results_from_confusion, results_to_str
+from .state import build_train_state
+from .train import make_eval_step, make_train_step
+
+
+def get_datasets(cfg: Config, base_train=None, base_val=None):
+    """Train/val/test datasets (reference run.py:46-113): train on the new
+    classes (masked), val = 80/20 split of train unless cross_val, test on
+    all seen classes."""
+    labels, labels_old, path_base = task_registry.get_task_labels(
+        cfg.dataset, cfg.task, cfg.step)
+    labels_cum = labels_old + labels
+    if cfg.overlap:
+        path_base += "-ov"
+    os.makedirs(path_base, exist_ok=True) if base_train is None else None
+
+    idx_dir = path_base if base_train is None else None
+    train_dst = make_incremental_dataset(
+        cfg.dataset, cfg.data_root, train=True,
+        transform=train_transform(cfg.crop_size),
+        labels=labels, labels_old=labels_old,
+        idxs_path=(f"{idx_dir}/train-{cfg.step}.npy" if idx_dir else None),
+        masking=cfg.masking, overlap=cfg.overlap, base=base_train)
+
+    if not cfg.cross_val:
+        train_dst, val_dst = split_train_val(train_dst, 0.2, cfg.random_seed)
+    else:
+        val_dst = make_incremental_dataset(
+            cfg.dataset, cfg.data_root, train=False,
+            transform=val_transform(cfg.crop_size if cfg.crop_val else None),
+            labels=labels, labels_old=labels_old,
+            idxs_path=(f"{idx_dir}/val-{cfg.step}.npy" if idx_dir else None),
+            masking=cfg.masking, overlap=True, base=base_val)
+
+    test_dst = make_incremental_dataset(
+        cfg.dataset, cfg.data_root, train=False,
+        transform=val_transform(cfg.crop_size if cfg.crop_val else None),
+        labels=labels_cum, labels_old=None,
+        idxs_path=(f"{idx_dir}/test_on_val-{cfg.step}.npy" if idx_dir else None),
+        masking=True, overlap=True,
+        base=base_val if base_val is not None else base_train)
+
+    return train_dst, val_dst, test_dst, len(labels_cum) + 1
+
+
+class Experiment:
+    def __init__(self, cfg: Config, base_train=None, base_val=None,
+                 mesh=None, logger: Optional[Logger] = None):
+        cfg.validate()
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh_for_batch(
+            cfg.batch_size)
+        self.rep = replicated(self.mesh)
+        self.data_sh = batch_sharding(self.mesh)
+
+        logdir = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}"
+        self.logger = logger or Logger(logdir, rank=jax.process_index(),
+                                       debug=cfg.debug, step=cfg.step)
+
+        self.train_dst, self.val_dst, self.test_dst, _ = get_datasets(
+            cfg, base_train, base_val)
+        self.train_loader = DataLoader(self.train_dst, cfg.batch_size,
+                                       seed=cfg.random_seed,
+                                       process_index=jax.process_index(),
+                                       process_count=jax.process_count())
+        self.val_loader = DataLoader(
+            self.val_dst, cfg.batch_size if cfg.crop_val else 1,
+            shuffle=False, drop_last=False, seed=cfg.random_seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+        self.total_iters = cfg.epochs * max(len(self.train_loader), 1)
+
+        self.model = make_model(cfg)
+        self.model_old = None
+        prev_model_state = prev_reg = None
+        if cfg.step > 0:
+            self.model_old = make_model(cfg, classes=cfg.classes_per_step[:-1])
+            path = cfg.step_ckpt or cfg.ckpt_path(cfg.step - 1)
+            prev_model_state = ckpt_lib.load_model_state(path)
+            prev_reg = ckpt_lib.load_reg_saved(path)
+            if prev_model_state is None:
+                if cfg.debug:
+                    self.logger.info(
+                        f"WARNING: no step-{cfg.step - 1} checkpoint at "
+                        f"{path}; training from scratch")
+                    self.model_old = None
+                else:
+                    raise FileNotFoundError(path)
+
+        self.state, self.old_vars = build_train_state(
+            cfg, self.model, jax.random.key(cfg.random_seed),
+            self.total_iters, prev_model_state=prev_model_state,
+            prev_reg_saved=prev_reg,
+            input_shape=(1, cfg.crop_size, cfg.crop_size, 3))
+        self.state = jax.device_put(self.state, self.rep)
+        if self.old_vars is not None:
+            self.old_vars = jax.device_put(self.old_vars, self.rep)
+
+        self.train_step = jax.jit(
+            make_train_step(cfg, self.model, self.model_old,
+                            self.total_iters),
+            donate_argnums=0)
+        self.eval_step = jax.jit(make_eval_step(cfg, self.model,
+                                                self.model_old))
+
+        self.cur_epoch = 0
+        self.best_score = 0.0
+        # same-step resume (reference run.py:249-260)
+        if cfg.ckpt is not None:
+            ck = ckpt_lib.load_checkpoint(cfg.ckpt)
+            if ck is not None:
+                self.state = self.state.replace(
+                    params=ck["model_state"]["params"],
+                    batch_stats=ck["model_state"]["batch_stats"],
+                    step=jnp.asarray(ck["step"]))
+                self.cur_epoch = int(ck["epoch"]) + 1
+                self.best_score = float(ck["best_score"])
+                self.logger.info(f"[!] Model restored from {cfg.ckpt}")
+
+    # ------------------------------------------------------------------
+    def _put_batch(self, batch, pad_to: Optional[int] = None):
+        if pad_to:
+            n = batch["label"].shape[0]
+            rem = pad_to - n
+            if rem > 0:
+                # pad with ignore-labelled zeros: excluded from the confusion
+                # matrix (labels==255 >= n_classes) and the loss numerator
+                batch = {
+                    "image": np.concatenate(
+                        [batch["image"],
+                         np.zeros((rem,) + batch["image"].shape[1:],
+                                  batch["image"].dtype)]),
+                    "label": np.concatenate(
+                        [batch["label"],
+                         np.full((rem,) + batch["label"].shape[1:], 255,
+                                 batch["label"].dtype)]),
+                }
+        return {k: jax.device_put(v, self.data_sh) for k, v in batch.items()}
+
+    def train_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        sums, n = {}, 0
+        interval = {}
+        for step, batch in enumerate(self.train_loader.epoch(epoch)):
+            self.state, m = self.train_step(self.state,
+                                            self._put_batch(batch),
+                                            self.old_vars)
+            n += 1
+            for k, v in m.items():
+                interval[k] = interval.get(k, 0.0) + float(v)
+            if (step + 1) % cfg.print_interval == 0:
+                avg = interval["loss_tot"] / cfg.print_interval
+                self.logger.info(
+                    f"Epoch {epoch}, Batch {step + 1}/"
+                    f"{len(self.train_loader)}, Loss={avg:.4f}")
+                x = epoch * len(self.train_loader) + step + 1
+                self.logger.add_scalar("Loss", avg, x)
+                for k, v in interval.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                interval = {}
+        for k, v in interval.items():
+            sums[k] = sums.get(k, 0.0) + v
+        dt = time.perf_counter() - t0
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        out["epoch_time_s"] = dt
+        out["images_per_s"] = n * cfg.batch_size / dt if dt > 0 else 0.0
+        return out
+
+    def validate(self, loader=None) -> tuple[dict, dict]:
+        cfg = self.cfg
+        loader = loader or self.val_loader
+        hist = jax.device_put(empty_confusion(cfg.tot_classes), self.rep)
+        sums, n = {}, 0
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        n_dev = self.mesh.devices.size
+        # fixed eval batch shape: one compile, remainder batches padded with
+        # ignore labels
+        pad_to = -(-loader.batch_size // n_dev) * n_dev
+        for batch in loader.epoch(0):
+            hist, losses, _ = self.eval_step(
+                variables, self._put_batch(batch, pad_to=pad_to),
+                hist, self.old_vars)
+            n += 1
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        res = results_from_confusion(np.asarray(hist),
+                                     total_samples=n * loader.batch_size)
+        return {k: v / max(n, 1) for k, v in sums.items()}, res
+
+    def save(self, epoch: int, score: float):
+        cfg = self.cfg
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        reg_saved = R.export_state(self.state.reg_state, self.state.params)
+        ckpt_lib.save_checkpoint(cfg.ckpt_path(), self.state, epoch, score,
+                                 reg_saved=reg_saved)
+        self.logger.info("[!] Checkpoint saved.")
+
+    def run(self, profile_dir: Optional[str] = None) -> dict:
+        """Full train/val loop + final test (reference run.py:286-401)."""
+        cfg = self.cfg
+        results = {}
+        while self.cur_epoch < cfg.epochs and not cfg.test_only:
+            epoch = self.cur_epoch
+            if profile_dir and epoch == 0:
+                jax.profiler.start_trace(profile_dir)
+            m = self.train_epoch(epoch)
+            if profile_dir and epoch == 0:
+                jax.profiler.stop_trace()
+            self.logger.info(
+                f"End of Epoch {epoch}/{cfg.epochs}, Average Loss="
+                f"{m.get('loss_tot', 0):.4f} ({m['images_per_s']:.1f} img/s)")
+            self.logger.add_scalar("E-Loss", m.get("loss_tot", 0.0), epoch)
+            self.logger.add_scalar("E-Loss-cls", m.get("loss", 0.0), epoch)
+            self.logger.add_scalar(
+                "E-Loss-reg",
+                sum(m.get(k, 0.0) for k in ("lkd", "lde", "l_icarl", "l_reg")),
+                epoch)
+            self.logger.add_scalar("Train-imgs-per-s", m["images_per_s"],
+                                   epoch)
+
+            if (epoch + 1) % cfg.val_interval == 0:
+                val_losses, val_score = self.validate()
+                self.logger.info(results_to_str(val_score))
+                score = val_score["Mean IoU"]
+                self.save(epoch, score)
+                self.logger.add_scalar("V-Loss", val_losses.get("loss", 0.0),
+                                       epoch)
+                self.logger.add_scalar("Val_Overall_Acc",
+                                       val_score["Overall Acc"], epoch)
+                self.logger.add_scalar("Val_MeanIoU", score, epoch)
+                self.logger.add_table("Val_Class_IoU", val_score["Class IoU"],
+                                      epoch)
+                results["V-IoU"] = val_score["Class IoU"]
+                self.best_score = max(self.best_score, score)
+            self.cur_epoch += 1
+
+        if not cfg.test_only:
+            self.save(self.cur_epoch - 1, self.best_score)
+        return results
+
+    def final_test(self, base_val=None) -> dict:
+        """Test on all seen classes (reference run.py:361-396)."""
+        cfg = self.cfg
+        test_loader = DataLoader(self.test_dst,
+                                 cfg.batch_size if cfg.crop_val else 1,
+                                 shuffle=False, drop_last=False,
+                                 seed=cfg.random_seed)
+        losses, score = self.validate(test_loader)
+        self.logger.info(results_to_str(score))
+        self.logger.add_scalar("T_Overall_Acc", score["Overall Acc"],
+                               cfg.step)
+        self.logger.add_scalar("T_MeanIoU", score["Mean IoU"], cfg.step)
+        self.logger.add_scalar("T_MeanAcc", score["Mean Acc"], cfg.step)
+        self.logger.add_table("Test_Class_IoU", score["Class IoU"])
+        return score

@@ -1,4 +1,5 @@
 from .mesh import (
+    make_mesh_for_batch,
     DATA_AXIS,
     batch_sharding,
     make_mesh,
@@ -7,5 +8,5 @@ from .mesh import (
     shard_batch,
 )
 
-__all__ = ["DATA_AXIS", "batch_sharding", "make_mesh", "replicate",
+__all__ = ["DATA_AXIS", "batch_sharding", "make_mesh", "make_mesh_for_batch", "replicate",
            "replicated", "shard_batch"]

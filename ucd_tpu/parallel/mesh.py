@@ -28,6 +28,16 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
+def make_mesh_for_batch(global_batch: int, n_devices: Optional[int] = None) -> Mesh:
+    """Data mesh over the largest device count that divides the global batch
+    (keeps per-device batches equal; jit sharding requires divisibility)."""
+    avail = n_devices if n_devices is not None else len(jax.devices())
+    n = avail
+    while n > 1 and global_batch % n != 0:
+        n -= 1
+    return make_mesh(n)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
