@@ -156,6 +156,10 @@ def _run_one_step(cfg: Config, profile_dir=None):
     exp = Experiment(cfg)
     exp.run(profile_dir=profile_dir)
     score = exp.final_test()
+    if cfg.sample_num > 0:
+        out = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}/samples"
+        n = exp.visualize(out, cfg.sample_num)
+        print(f"wrote {n} visualization panels to {out}")
     csv_path = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}/results.csv"
     write_step_csv(csv_path, cfg.step, score["Class IoU"])
     print(json.dumps({"step": cfg.step, "mean_iou": score["Mean IoU"]}))

@@ -43,6 +43,22 @@ def filter_images(masks, labels, labels_old=None, overlap=True):
     return idxs
 
 
+def group_images(masks, labels):
+    """Group image indices by contained label, keeping only images whose
+    classes are a subset of labels ∪ {0, 255}
+    (reference dataset/utils.py:5-16)."""
+    idxs = {lab: [] for lab in labels}
+    label_set = set(labels)
+    cum = label_set | {0, 255}
+    for i, m in enumerate(masks):
+        cls = np.unique(np.asarray(m() if callable(m) else m))
+        if all(int(x) in cum for x in cls):
+            for x in cls:
+                if int(x) in label_set:
+                    idxs[int(x)].append(i)
+    return idxs
+
+
 def load_or_compute_idxs(idxs_path: Optional[str], compute_fn):
     """Reuse the shipped .npy split caches verbatim
     (reference dataset/voc.py:158-163; path convention tasks.py:195)."""
@@ -172,8 +188,8 @@ class Subset:
         if self.transform is not None:
             img, lbl = self.transform(img, lbl, rng)
         if self.remap_lut is not None:
-            lbl = self.remap_lut[np.clip(lbl.astype(np.int64), 0,
-                                         len(self.remap_lut) - 1)]
+            from .native import remap_labels
+            lbl = remap_labels(np.asarray(lbl), self.remap_lut)
         return img, lbl
 
     def get(self, idx, rng=None):

@@ -1,0 +1,111 @@
+"""ctypes bindings for the native host-side data ops (native/data_ops.cc).
+
+Replaces the reference's per-pixel Python label remapping
+(dataset/voc.py:186-207 `tensor.apply_`) and per-sample torchvision tensor
+math with C++ loops. Every entry point has a numpy fallback so the framework
+runs without the compiled library; `HAS_NATIVE` reports availability.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                        "libucd_data_ops.so")
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        lib = ctypes.CDLL(path)
+        lib.remap_labels_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.remap_labels_u8_to_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+        lib.normalize_u8_to_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float)]
+        lib.confusion_update_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
+        _LIB = lib
+    else:
+        _LIB = False
+    return _LIB
+
+
+def has_native() -> bool:
+    return bool(_load())
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def remap_labels(lbl: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """LUT remap of a uint8/int label array -> int32."""
+    lut = np.ascontiguousarray(lut, np.int32)
+    assert lut.size == 256
+    lib = _load()
+    if lib and lbl.dtype == np.uint8:
+        src = np.ascontiguousarray(lbl)
+        out = np.empty(lbl.shape, np.int32)
+        lib.remap_labels_u8_to_i32(_ptr(src, ctypes.c_uint8),
+                                   _ptr(out, ctypes.c_int32),
+                                   src.size, _ptr(lut, ctypes.c_int32))
+        return out
+    if lib and lbl.dtype == np.int32:
+        out = np.ascontiguousarray(lbl).copy()
+        lib.remap_labels_i32(_ptr(out, ctypes.c_int32), out.size,
+                             _ptr(lut, ctypes.c_int32))
+        return out
+    return lut[np.clip(lbl.astype(np.int64), 0, 255)]
+
+
+def normalize_image(img_u8: np.ndarray, mean: np.ndarray,
+                    std: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> normalized float32 HWC in one pass."""
+    lib = _load()
+    c = img_u8.shape[-1]
+    if lib and img_u8.dtype == np.uint8 and c <= 8:
+        src = np.ascontiguousarray(img_u8)
+        out = np.empty(src.shape, np.float32)
+        mean32 = np.ascontiguousarray(mean, np.float32)
+        std32 = np.ascontiguousarray(std, np.float32)
+        lib.normalize_u8_to_f32(_ptr(src, ctypes.c_uint8),
+                                _ptr(out, ctypes.c_float),
+                                src.size // c, c,
+                                _ptr(mean32, ctypes.c_float),
+                                _ptr(std32, ctypes.c_float))
+        return out
+    x = img_u8.astype(np.float32) / 255.0
+    return (x - mean) / std
+
+
+def confusion_update(hist: np.ndarray, lbl: np.ndarray,
+                     pred: np.ndarray) -> np.ndarray:
+    """Host-side confusion accumulation (int64 hist, in-place)."""
+    lib = _load()
+    n_classes = hist.shape[0]
+    if lib:
+        l32 = np.ascontiguousarray(lbl.reshape(-1), np.int32)
+        p32 = np.ascontiguousarray(pred.reshape(-1), np.int32)
+        lib.confusion_update_i32(_ptr(l32, ctypes.c_int32),
+                                 _ptr(p32, ctypes.c_int32), l32.size,
+                                 n_classes, _ptr(hist, ctypes.c_int64))
+        return hist
+    mask = (lbl >= 0) & (lbl < n_classes)
+    idx = n_classes * lbl[mask].astype(np.int64) + pred[mask]
+    hist += np.bincount(idx, minlength=n_classes**2).reshape(n_classes,
+                                                            n_classes)
+    return hist

@@ -177,8 +177,11 @@ class ToTensorNormalize:
         self.std = np.asarray(std, np.float32)
 
     def __call__(self, img, lbl, rng=None):
-        img = img.astype(np.float32) / 255.0
-        img = (img - self.mean) / self.std
+        if img.dtype == np.uint8:
+            from .native import normalize_image
+            img = normalize_image(img, self.mean, self.std)
+        else:
+            img = (img.astype(np.float32) / 255.0 - self.mean) / self.std
         return img, lbl.astype(np.int32)
 
 

@@ -277,6 +277,43 @@ class Experiment:
             self.save(self.cur_epoch - 1, self.best_score)
         return results
 
+    def visualize(self, out_dir: str, max_images: int = 16) -> int:
+        """Dump per-image (input | GT | prediction) colormap panels and
+        body-attention maps (reference test.py:226-238 + Trainer.test
+        attention, train.py:339-343 — with the undefined-variable crash at
+        train.py:346 fixed by construction). Returns #images written."""
+        from ..utils.viz import attention_map, compose_sample_png
+        try:
+            from PIL import Image
+        except ImportError:  # pragma: no cover
+            return 0
+        os.makedirs(out_dir, exist_ok=True)
+        cfg = self.cfg
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        fwd = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
+        n = 0
+        loader = DataLoader(self.test_dst, cfg.batch_size, shuffle=False,
+                            drop_last=False, seed=cfg.random_seed)
+        for batch in loader.epoch(0):
+            logits, feats = fwd(variables, jnp.asarray(batch["image"]))
+            preds = np.asarray(jnp.argmax(logits, axis=-1))
+            att = attention_map(np.asarray(feats["body"]),
+                                batch["image"].shape[1:3])
+            for j in range(preds.shape[0]):
+                panel = compose_sample_png(batch["image"][j],
+                                           batch["label"][j], preds[j],
+                                           cfg.dataset)
+                Image.fromarray(panel).save(
+                    os.path.join(out_dir, f"{n:04d}_panel.png"))
+                a = (att[j] / max(float(att[j].max()), 1e-12) * 255)
+                Image.fromarray(a.astype(np.uint8)).save(
+                    os.path.join(out_dir, f"{n:04d}_attention.png"))
+                n += 1
+                if n >= max_images:
+                    return n
+        return n
+
     def final_test(self, base_val=None) -> dict:
         """Test on all seen classes (reference run.py:361-396)."""
         cfg = self.cfg

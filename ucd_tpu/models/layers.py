@@ -57,17 +57,26 @@ class ABN(nn.Module):
     momentum: float = 0.9  # flax convention == torch/inplace_abn momentum 0.1
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    norm_type: str = "bn"  # 'bn' | 'gn' (the reference's convert_bn2gn
+    #                         utility, utils/utils.py:243-254, as a config
+    #                         choice instead of post-hoc module surgery)
+    gn_groups: int = 16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x)
+        if self.norm_type == "gn":
+            x = nn.GroupNorm(num_groups=min(self.gn_groups, x.shape[-1]),
+                             epsilon=self.epsilon, dtype=jnp.float32,
+                             param_dtype=jnp.float32, name="gn")(x)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.momentum,
+                epsilon=self.epsilon,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
         if self.activation == "leaky_relu":
             x = nn.leaky_relu(x, self.activation_param)
         elif self.activation == "elu":
