@@ -25,8 +25,9 @@ from . import tasks as task_registry
 
 METHODS = ("FT", "LWF", "LWF-MC", "ILT", "EWC", "RW", "PI", "MiB", "UCD")
 
-# per-dataset total class counts incl. background/void (argparser.py:6-11)
-NUM_CLASSES = {"voc": 21, "ade": 151, "city": 20}
+# per-dataset total class counts incl. background/void (argparser.py:6-11);
+# city_domain uses the fixed 19 train-ids at every step (domain-incremental)
+NUM_CLASSES = {"voc": 21, "ade": 151, "city": 20, "city_domain": 19}
 
 
 @dataclass
@@ -118,6 +119,9 @@ class Config:
 
     @property
     def classes_per_step(self) -> list[int]:
+        if self.dataset == "city_domain":
+            # classes are fixed; steps add domains, not classifier heads
+            return [NUM_CLASSES[self.dataset]]
         return task_registry.get_per_task_classes(self.dataset, self.task, self.step)
 
     @property
@@ -152,6 +156,12 @@ class Config:
         assert self.step in task_dict, (
             f"step {self.step} out of range for task {self.task} "
             f"(valid: 0..{max(task_dict)})")
+        if self.dataset == "city_domain":
+            assert not (self.unce or self.unkd or self.contrastive
+                        or self.icarl or self.init_balanced), (
+                "background-unbiased / contrastive / icarl methods require "
+                "class-incremental steps; use FT/LWF/ILT/EWC/PI/RW for "
+                "domain-incremental Cityscapes")
         return self
 
 

@@ -204,6 +204,25 @@ def make_incremental_dataset(dataset: str, root: str, train: bool,
     (e.g. SyntheticSegmentation) for tests."""
     labels = list(labels)
     labels_old = list(labels_old or [])
+
+    if dataset == "city_domain":
+        # steps are DOMAINS (city ids; 0 is a valid domain — no zero-strip);
+        # 80/20 split via RandomState(1) shuffle
+        # (reference cityscapes_domain.py:165-172); labels are already
+        # train-ids, no remap
+        if base is None:
+            base = CityscapesSegmentationDomain(root)
+        domains = set(labels)
+        idxs = load_or_compute_idxs(
+            idxs_path,
+            lambda: [i for i in range(len(base)) if base.domain(i) in domains])
+        rnd = np.random.RandomState(1)
+        idxs = list(idxs)
+        rnd.shuffle(idxs)
+        n_train = int(0.8 * len(idxs))
+        idxs = idxs[:n_train] if train else idxs[n_train:]
+        return Subset(base, idxs, transform, None)
+
     if base is None:
         if dataset == "voc":
             base = VOCSegmentation(root, "train" if train else "val")

@@ -144,6 +144,8 @@ def make_train_step(cfg: Config, model, model_old, total_iters: int,
     batch = {'image': (B,H,W,3) f32, 'label': (B,H,W) i32} and old_vars is the
     donor's {'params', 'batch_stats'} (or None)."""
     step_idx = cfg.step if step_idx is None else step_idx
+    if cfg.dataset == "city_domain":
+        step_idx = 0  # single fixed head keeps training (domain-incremental)
     tx = make_optimizer(cfg, total_iters)
     has_old = model_old is not None
 

@@ -155,7 +155,25 @@ TASKS_ADE = {
     },
 }
 
-_DATASET_TASKS = {"voc": TASKS_VOC, "ade": TASKS_ADE, "city": TASKS_CITY}
+# Domain-incremental Cityscapes: steps are CITIES (domain ids 0..20), classes
+# are the fixed 19 train-ids every step. The reference ships the dataset class
+# (dataset/cityscapes_domain.py:79-193) but never registered tasks for it
+# (unreachable from run.py — SURVEY.md §2.5); these tables follow the standard
+# 11-5 / 11-1 / 1-1 domain splits over the 21 cities.
+TASKS_CITY_DOMAIN = {
+    "offline": {0: list(range(21))},
+    "11-5": {
+        0: list(range(11)),
+        1: list(range(11, 16)),
+        2: list(range(16, 21)),
+    },
+    "11-1": {0: list(range(11)),
+             **{i + 1: [11 + i] for i in range(10)}},
+    "1-1": {i: [i] for i in range(21)},
+}
+
+_DATASET_TASKS = {"voc": TASKS_VOC, "ade": TASKS_ADE, "city": TASKS_CITY,
+                  "city_domain": TASKS_CITY_DOMAIN}
 
 
 def get_task_dict(dataset: str, name: str) -> dict[int, list[int]]:
