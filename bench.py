@@ -26,6 +26,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeat bench runs skip the minutes-long
+    # XLA compile through the TPU tunnel
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/ucd_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from ucd_tpu import config
     from ucd_tpu.engine import build_train_state, make_train_step
     from ucd_tpu.models import make_model
@@ -68,8 +77,10 @@ def main():
             jnp.int32),
     }
 
+    # NOTE: no buffer donation — the axon TPU backend miscompiles donated
+    # step>0 graphs (INVALID_ARGUMENT); costs one extra param copy in HBM
     train_step = jax.jit(make_train_step(cfg, model, model_old,
-                                         total_iters=100), donate_argnums=0)
+                                         total_iters=100))
 
     # compile + warmup
     state, m = train_step(state, batch_data, old_vars)

@@ -95,3 +95,19 @@ def test_cli_config_roundtrip():
     assert cfg.step == 1 and cfg.contrastive and cfg.unce and cfg.unkd
     assert cfg.loss_kd == 10.0 and cfg.overlap
     assert cfg.batch_size == 8
+
+
+def test_same_step_resume(tmp_path, bases):
+    """--ckpt resume restores model/epoch/best (reference run.py:249-260)."""
+    base_train, base_val = bases
+    cfg = make_cfg(tmp_path, step=0, epochs=2)
+    exp = Experiment(cfg, base_train=base_train, base_val=base_val)
+    exp.run()
+
+    cfg_resume = dataclasses.replace(cfg, ckpt=cfg.ckpt_path(), epochs=3)
+    exp2 = Experiment(cfg_resume, base_train=base_train, base_val=base_val)
+    assert exp2.cur_epoch == 2  # saved epoch 1 -> resume at 2
+    np.testing.assert_allclose(
+        np.asarray(exp2.state.params["cls_0"]["kernel"]),
+        np.asarray(exp.state.params["cls_0"]["kernel"]))
+    exp2.run()  # continues for 1 more epoch without error

@@ -79,6 +79,7 @@ class Config:
     temperature: float = 0.07
     contrastive_weight: float = 0.01   # reference divides conloss by 100 (train.py:116)
     contrastive_capacity: int = 0      # 0 = full B*h*w pixel set; >0 = fixed anchor budget
+    contrastive_bug_compatible: bool = False  # shipped unstabilized-neg formula
     icarl: bool = False
     icarl_importance: float = 1.0
     icarl_disjoint: bool = False

@@ -133,10 +133,14 @@ class Experiment:
         if self.old_vars is not None:
             self.old_vars = jax.device_put(self.old_vars, self.rep)
 
+        # no buffer donation: the axon TPU backend miscompiles donated
+        # step>0 graphs (INVALID_ARGUMENT); re-enable via UCD_TPU_DONATE=1
+        # on backends where donation is sound
+        donate = (0,) if os.environ.get("UCD_TPU_DONATE") == "1" else ()
         self.train_step = jax.jit(
             make_train_step(cfg, self.model, self.model_old,
                             self.total_iters),
-            donate_argnums=0)
+            donate_argnums=donate)
         self.eval_step = jax.jit(make_eval_step(cfg, self.model,
                                                 self.model_old))
 

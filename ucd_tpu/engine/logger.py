@@ -34,6 +34,7 @@ class Logger:
         self._log = logging.getLogger(f"ucd_tpu.r{rank}")
         self._log.setLevel(logging.DEBUG if debug else logging.INFO)
 
+        self.wandb = None
         if rank == 0:
             os.makedirs(logdir, exist_ok=True)
             self.jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
@@ -43,6 +44,15 @@ class Logger:
                     self.writer = SummaryWriter(logdir)
                 except Exception:
                     self.writer = None
+            # optional wandb mirror (reference run.py:25-30, gated instead of
+            # the hard import at reference train.py:12)
+            if os.environ.get("UCD_TPU_WANDB") == "1":
+                try:
+                    import wandb
+                    wandb.init(project="ucd_tpu", dir=logdir)
+                    self.wandb = wandb
+                except Exception:
+                    self.wandb = None
 
     def _tag(self, tag: str) -> str:
         # per-step tag suffix (reference utils/logger.py:81-83)
@@ -65,6 +75,8 @@ class Logger:
             self.jsonl.flush()
         if self.writer is not None:
             self.writer.add_scalar(self._tag(tag), float(value), step)
+        if self.wandb is not None:
+            self.wandb.log({self._tag(tag): float(value)})
 
     def add_image(self, tag, image, step=None):
         if self.rank == 0 and self.writer is not None:

@@ -105,6 +105,7 @@ def compute_train_losses(cfg: Config, outputs, feats, labels,
             temperature=cfg.temperature,
             capacity=cfg.contrastive_capacity,
             use_pallas=cfg.use_pallas_contrastive,
+            bug_compatible=cfg.contrastive_bug_compatible,
         ) * cfg.contrastive_weight
     terms["l_con"] = l_con
 

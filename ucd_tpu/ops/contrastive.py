@@ -248,13 +248,17 @@ def pixel_contrastive_loss(batch: ContrastiveBatch, temperature: float = 0.07,
 
 def ucd_contrastive_loss(f_n, labels, l_po, f_o, max_label: int,
                          temperature: float = 0.07, capacity: int = 0,
-                         use_pallas: bool = False) -> jnp.ndarray:
+                         use_pallas: bool = False,
+                         bug_compatible: bool = False) -> jnp.ndarray:
     """End-to-end UCD contrastive term: build batch -> (compact) -> loss.
     Equivalent of `pre_contractive_pixel(...)` + `PixelConLossV2(...)` at
-    reference train.py:115-116 (with the arity defect fixed)."""
+    reference train.py:115-116 (with the arity defect fixed).
+    `bug_compatible` reproduces the shipped unstabilized negative sum
+    (dense path only)."""
     batch = build_contrastive_batch(f_n, labels, l_po, f_o, max_label)
     batch = compact_batch(batch, capacity)
-    if use_pallas:
+    if use_pallas and not bug_compatible:
         from .pallas_contrastive import pixel_contrastive_loss_pallas
         return pixel_contrastive_loss_pallas(batch, temperature)
-    return pixel_contrastive_loss(batch, temperature)
+    return pixel_contrastive_loss(batch, temperature,
+                                  bug_compatible=bug_compatible)
