@@ -82,17 +82,19 @@ def main():
     train_step = jax.jit(make_train_step(cfg, model, model_old,
                                          total_iters=100))
 
-    # compile + warmup
+    # compile + warmup (value fetch, not just block_until_ready: on the
+    # tunneled backend only a concrete transfer forces the chain)
     state, m = train_step(state, batch_data, old_vars)
-    jax.block_until_ready(m)
+    float(m["loss_tot"])
     state, m = train_step(state, batch_data, old_vars)
-    jax.block_until_ready(m)
+    float(m["loss_tot"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = train_step(state, batch_data, old_vars)
-    jax.block_until_ready(m)
+    loss = float(m["loss_tot"])
     dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
 
     img_per_s = batch * steps / dt
     print(json.dumps({

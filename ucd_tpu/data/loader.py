@@ -1,14 +1,19 @@
-"""Batched data loading with per-epoch shuffling and multi-host sharding.
+"""Batched data loading with per-epoch shuffling, multi-host sharding and
+background prefetch.
 
 Replaces torch DataLoader + DistributedSampler (reference run.py:147-152):
 each host reads its contiguous shard of the epoch permutation
 (`process_index`-based, SURVEY.md §5.8) and yields NHWC numpy batches ready
 for `jax.device_put` onto the mesh. Drop-last semantics match the reference
-train loader."""
+train loader. `prefetch > 0` overlaps host-side decode/augment with device
+compute via a daemon thread (the reference relies on torch DataLoader
+workers; TPU hosts are core-starved, so overlapping matters more here)."""
 
 from __future__ import annotations
 
 import math
+import queue
+import threading
 from typing import Iterator, Optional
 
 import numpy as np
@@ -17,7 +22,8 @@ import numpy as np
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -25,6 +31,7 @@ class DataLoader:
         self.seed = seed
         self.process_index = process_index
         self.process_count = process_count
+        self.prefetch = prefetch
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.process_count
@@ -33,6 +40,30 @@ class DataLoader:
         return math.ceil(n / self.batch_size)
 
     def epoch(self, epoch: int) -> Iterator[dict]:
+        """Epoch iterator, prefetched in a background thread when
+        `prefetch > 0`."""
+        if self.prefetch <= 0:
+            yield from self._epoch_sync(epoch)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def worker():
+            try:
+                for b in self._epoch_sync(epoch):
+                    q.put(b)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is _END:
+                break
+            yield b
+
+    def _epoch_sync(self, epoch: int) -> Iterator[dict]:
         """DistributedSampler.set_epoch equivalent (reference train.py:92):
         epoch-seeded permutation, per-host contiguous shard."""
         rng = np.random.default_rng(self.seed + epoch)
