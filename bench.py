@@ -39,7 +39,7 @@ def main():
     from ucd_tpu.engine import build_train_state, make_train_step
     from ucd_tpu.models import make_model
 
-    batch = int(os.environ.get("BENCH_BATCH", "12"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     backbone = os.environ.get("BENCH_BACKBONE", "resnet101")

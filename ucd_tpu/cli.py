@@ -111,6 +111,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sample_num", type=int, default=0)
     p.add_argument("--debug", action="store_true", default=False)
     p.add_argument("--profile_dir", default=None)
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="use N random synthetic images instead of real data "
+                        "(smoke-testing without datasets)")
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
@@ -149,11 +152,27 @@ def config_from_args(args: argparse.Namespace) -> Config:
     return apply_method(cfg).validate()
 
 
-def _run_one_step(cfg: Config, profile_dir=None):
+def _make_bases(cfg: Config, n: int):
+    """Synthetic train/val bases for dataset-free smoke runs."""
+    if n <= 0:
+        return None, None
+    from .data import SyntheticSegmentation
+    # labels only from classes seen so far: keeps disjoint-mode filtering
+    # (dataset/utils.py:19-42 semantics) from dropping every random image
+    n_cls = cfg.tot_classes
+    return (SyntheticSegmentation(n=n, size=cfg.crop_size, n_classes=n_cls,
+                                  seed=cfg.random_seed + cfg.step),
+            SyntheticSegmentation(n=max(n // 4, 4), size=cfg.crop_size,
+                                  n_classes=n_cls,
+                                  seed=cfg.random_seed + 1000))
+
+
+def _run_one_step(cfg: Config, profile_dir=None, synthetic: int = 0):
     from .engine.experiment import Experiment
     from .utils.reporting import write_step_csv
 
-    exp = Experiment(cfg)
+    base_train, base_val = _make_bases(cfg, synthetic)
+    exp = Experiment(cfg, base_train=base_train, base_val=base_val)
     exp.run(profile_dir=profile_dir)
     score = exp.final_test()
     if cfg.sample_num > 0:
@@ -171,10 +190,10 @@ def main(argv=None):
     cfg = config_from_args(args)
 
     if args.command == "train":
-        _run_one_step(cfg, args.profile_dir)
+        _run_one_step(cfg, args.profile_dir, synthetic=args.synthetic)
     elif args.command == "test":
         cfg = dataclasses.replace(cfg, test_only=True)
-        _run_one_step(cfg)
+        _run_one_step(cfg, synthetic=args.synthetic)
     elif args.command == "run-task":
         # all steps of the task in one process (improvement over the
         # reference's one-launch-per-step, SURVEY.md §7 item 8)
@@ -182,7 +201,7 @@ def main(argv=None):
         for step in range(cfg.step, n_steps):
             step_cfg = dataclasses.replace(cfg, step=step)
             step_cfg = step_cfg.validate()
-            _run_one_step(step_cfg)
+            _run_one_step(step_cfg, synthetic=args.synthetic)
     return 0
 
 
