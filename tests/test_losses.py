@@ -173,3 +173,20 @@ def test_mask_cross_entropy(rng, data):
     mask = ((pseudo == 0) | (lab > old_cl)).float()
     ref = (nll * mask).mean()  # positive-sign intended semantics
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_bce_mean_all_matches_trainer_call_path(data):
+    """Training call path: reduction='none' -> .mean() over ALL pixels
+    (reference train.py:36,112)."""
+    logits, labels = data
+    ours = losses.bce_with_logits_ignore(jnp.array(logits), jnp.array(labels),
+                                         reduction="mean_all")
+    inp, lab = t(logits), t(labels)
+    n_cl = inp.shape[1]
+    labels_new = torch.where(lab != IGN, lab, torch.tensor(n_cl))
+    tgt = F.one_hot(labels_new.long(), n_cl + 1).float().permute(0, 3, 1, 2)
+    tgt = tgt[:, :n_cl]
+    loss = F.binary_cross_entropy_with_logits(inp, tgt, reduction="none")
+    loss = loss.sum(dim=1)
+    ref = (loss * (tgt.sum(dim=1) != 0).float()).mean()
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)

@@ -171,6 +171,21 @@ CITY_TO_DOMAIN_ID = {
 }
 
 
+class MaskLabels:
+    """Standalone label-masking transform: keep `labels_to_keep`, map the rest
+    to `mask_value` (reference dataset/utils.py:90-108, done as a LUT gather
+    instead of nested per-pixel apply_)."""
+
+    def __init__(self, labels_to_keep, mask_value: int = 0):
+        self.lut = np.full(256, mask_value, np.int32)
+        for lab in labels_to_keep:
+            if 0 <= lab < 256:
+                self.lut[lab] = lab
+
+    def __call__(self, lbl: np.ndarray) -> np.ndarray:
+        return self.lut[np.clip(lbl.astype(np.int64), 0, 255)]
+
+
 class Subset:
     """Index-subset with paired transform + LUT label remap
     (reference dataset/utils.py:45-87)."""

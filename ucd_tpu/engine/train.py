@@ -89,7 +89,7 @@ def compute_train_losses(cfg: Config, outputs, feats, labels,
                             jax.nn.sigmoid(outputs_old.astype(jnp.float32)),
                             bkg=cfg.icarl_bkg)
     elif cfg.bce or cfg.icarl:
-        loss = L.bce_with_logits_ignore(outputs, labels)
+        loss = L.bce_with_logits_ignore(outputs, labels, reduction="mean_all")
     elif cfg.unce and cfg.old_classes != 0:
         loss = L.unbiased_cross_entropy(outputs, labels, cfg.old_classes)
     else:
@@ -227,7 +227,7 @@ def make_eval_step(cfg: Config, model, model_old=None):
                                 jax.nn.sigmoid(outputs_old.astype(jnp.float32)),
                                 bkg=cfg.icarl_bkg)
         elif cfg.bce or cfg.icarl:
-            loss = L.bce_with_logits_ignore(outputs, labels)
+            loss = L.bce_with_logits_ignore(outputs, labels, reduction="mean_all")
         elif cfg.unce and cfg.old_classes != 0:
             loss = L.unbiased_cross_entropy(outputs, labels, cfg.old_classes)
         else:

@@ -87,6 +87,14 @@ class IncrementalSegmentationModel(nn.Module):
         return sem_logits, {"body": x_b_att, "pre_logits": x_pl_att, "sem": sem}
 
 
+def SegmentationModel(num_classes: int, **kwargs) -> "IncrementalSegmentationModel":
+    """Non-incremental model (reference `SegmentationModule`,
+    segmentation_module.py:51): a single classifier head. The reference's
+    `fusion_mode` (mean/voting/max) only applies to its multi-scale test-time
+    fusion path, which is not exercised by any reference entry point."""
+    return IncrementalSegmentationModel(classes=(num_classes,), **kwargs)
+
+
 def make_model(cfg, classes: Sequence[int] | None = None) -> IncrementalSegmentationModel:
     """Build the flagship model from a Config (reference segmentation_module.py:14-53,
     with the --no_pretrained NameError fixed: pretrained loading is a separate

@@ -77,8 +77,13 @@ def bce_with_logits_ignore(logits, labels, ignore_index: int = IGNORE,
     loss = _bce_with_logits(logits, targets).sum(axis=-1)  # B,H,W
     valid = targets.sum(axis=-1) != 0
     if reduction == "mean":
+        # the class's reduction='mean' branch: masked-select mean
         return jnp.sum(jnp.where(valid, loss, 0.0)) / jnp.maximum(
             jnp.sum(valid), 1)
+    if reduction == "mean_all":
+        # the Trainer call path: reduction='none' -> .mean() over ALL pixels
+        # (train.py:36 + train.py:112; masked loss, full-count denominator)
+        return jnp.mean(jnp.where(valid, loss, 0.0))
     if reduction == "sum":
         return jnp.sum(jnp.where(valid, loss, 0.0))
     return loss * targets.sum(axis=-1)
