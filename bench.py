@@ -48,8 +48,9 @@ def main():
         dataset="voc", task="15-5s", step=1, method="UCD",
         backbone=backbone, crop_size=size, batch_size=batch,
         dtype="bfloat16",
-        contrastive_capacity=int(os.environ.get("BENCH_CON_CAP", "4096")),
+        contrastive_capacity=int(os.environ.get("BENCH_CON_CAP", "0")),
         use_pallas_contrastive=os.environ.get("BENCH_PALLAS", "1") == "1",
+        bf16_upsample=os.environ.get("BENCH_BF16_UP", "1") == "1",
     )
     cfg0 = config.make_config(dataset="voc", task="15-5s", step=0,
                               backbone=backbone, crop_size=size,

@@ -165,3 +165,16 @@ def test_confusion_matrix_ignores_255(rng):
     h = np.asarray(hist)
     assert h.sum() == 4  # two 255 pixels dropped
     assert h[0, 0] == 1 and h[1, 1] == 1 and h[2, 2] == 1 and h[1, 0] == 1
+
+
+def test_output_stride_8(rng):
+    """os=8 path: dilation [1,1,2,4], ASPP rates 12/24/32; 4x4 smaller
+    feature grid than os16 at the same input."""
+    cfg = tiny_cfg(step=0, method="FT", output_stride=8)
+    model = make_model(cfg)
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    logits, feats = model.apply(variables, x, train=False)
+    assert logits.shape == (1, SIZE, SIZE, cfg.tot_classes)
+    assert feats["body"].shape[1] == SIZE // 8
+    assert np.isfinite(np.asarray(logits)).all()

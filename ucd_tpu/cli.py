@@ -202,6 +202,14 @@ def main(argv=None):
             step_cfg = dataclasses.replace(cfg, step=step)
             step_cfg = step_cfg.validate()
             _run_one_step(step_cfg, synthetic=args.synthetic)
+        # final multi-step report (reference average_csv.py output)
+        from .utils.reporting import aggregate_csv, format_report
+        csv_path = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}/results.csv"
+        first = len(task_registry.get_task_dict(cfg.dataset, cfg.task)[0]) - 1
+        try:
+            print(format_report(aggregate_csv(csv_path, first)))
+        except (FileNotFoundError, IndexError):
+            pass
     return 0
 
 

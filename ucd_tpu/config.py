@@ -96,6 +96,7 @@ class Config:
     # TPU execution
     dtype: str = "bfloat16"        # compute dtype: bfloat16 | float32
     param_dtype: str = "float32"   # master weights
+    bf16_upsample: bool = False    # upsample logits in bf16 (~+3% step speed)
     data_axis: int = 0             # mesh axis size 0 = all devices
     remat: bool = False            # rematerialize backbone blocks to save HBM
     use_pallas_contrastive: bool = True

@@ -49,9 +49,10 @@ def get_datasets(cfg: Config, base_train=None, base_val=None):
     labels_cum = labels_old + labels
     if cfg.overlap:
         path_base += "-ov"
-    os.makedirs(path_base, exist_ok=True) if base_train is None else None
-
-    idx_dir = path_base if base_train is None else None
+    idx_dir = None
+    if base_train is None:
+        os.makedirs(path_base, exist_ok=True)
+        idx_dir = path_base
     train_dst = make_incremental_dataset(
         cfg.dataset, cfg.data_root, train=True,
         transform=train_transform(cfg.crop_size),

@@ -198,7 +198,7 @@ def make_train_step(cfg: Config, model, model_old, total_iters: int,
         new_state = state.replace(params=params, batch_stats=new_bs,
                                   opt_state=opt_state, reg_state=reg_state,
                                   step=state.step + 1)
-        metrics = {k: v for k, v in terms.items()}
+        metrics = dict(terms)
         metrics["lr"] = make_lr_schedule(cfg, total_iters)(state.step)
         return new_state, metrics
 

@@ -37,11 +37,13 @@ def att_map(x: jnp.ndarray) -> jnp.ndarray:
     return (jax.lax.stop_gradient(a)[..., None] * x.astype(jnp.float32)).astype(x.dtype)
 
 
-def resize_bilinear(x: jnp.ndarray, size) -> jnp.ndarray:
+def resize_bilinear(x: jnp.ndarray, size, dtype=jnp.float32) -> jnp.ndarray:
     """Bilinear resize with half-pixel centers == torch interpolate
-    align_corners=False (reference segmentation_module.py:133)."""
+    align_corners=False (reference segmentation_module.py:133). `dtype`
+    bfloat16 halves the HBM traffic of the 512^2 logit tensors (~+3%
+    step throughput) at ~3 decimal digits of logit precision."""
     out_shape = (x.shape[0], size[0], size[1], x.shape[-1])
-    return jax.image.resize(x.astype(jnp.float32), out_shape, method="linear")
+    return jax.image.resize(x.astype(dtype), out_shape, method="linear")
 
 
 class IncrementalSegmentationModel(nn.Module):
@@ -51,6 +53,7 @@ class IncrementalSegmentationModel(nn.Module):
     head_channels: int = 256
     pooling_size: int = 32
     dtype: Any = jnp.float32
+    upsample_dtype: Any = jnp.float32
     remat: bool = False
 
     @nn.compact
@@ -83,7 +86,8 @@ class IncrementalSegmentationModel(nn.Module):
         x_b_att = att_map(x_b)
         x_pl_att = att_map(x_pl)
 
-        sem_logits = resize_bilinear(sem, (x.shape[1], x.shape[2]))
+        sem_logits = resize_bilinear(sem, (x.shape[1], x.shape[2]),
+                                     dtype=self.upsample_dtype)
         return sem_logits, {"body": x_b_att, "pre_logits": x_pl_att, "sem": sem}
 
 
@@ -102,6 +106,8 @@ def make_model(cfg, classes: Sequence[int] | None = None) -> IncrementalSegmenta
     import jax.numpy as _jnp
 
     dtype = {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32}[cfg.dtype]
+    up_dtype = _jnp.bfloat16 if getattr(cfg, "bf16_upsample", False) \
+        else _jnp.float32
     return IncrementalSegmentationModel(
         classes=tuple(classes if classes is not None else cfg.classes_per_step),
         backbone=cfg.backbone,
@@ -109,6 +115,7 @@ def make_model(cfg, classes: Sequence[int] | None = None) -> IncrementalSegmenta
         head_channels=cfg.head_channels,
         pooling_size=cfg.pooling,
         dtype=dtype,
+        upsample_dtype=up_dtype,
         remat=cfg.remat,
     )
 
