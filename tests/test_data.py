@@ -129,3 +129,25 @@ def test_transforms_preserve_pairing():
     assert out_lbl.shape == (32, 32)
     vi, vl = val_transform(32)(img, lbl, rng)
     assert vi.shape == (32, 32, 3) and vl.shape == (32, 32)
+
+
+def test_extra_transforms():
+    from ucd_tpu.data.transforms import (ColorJitter, Lambda, Pad,
+                                         RandomRotation)
+    rng = np.random.default_rng(0)
+    img = (np.arange(32 * 32 * 3).reshape(32, 32, 3) % 255).astype(np.uint8)
+    lbl = (np.arange(32 * 32).reshape(32, 32) % 5).astype(np.uint8)
+
+    pi, pl = Pad(4)(img, lbl)
+    assert pi.shape == (40, 40, 3) and pl.shape == (40, 40)
+    assert pl[0, 0] == 255  # padding ignored in labels
+
+    ri, rl = RandomRotation(30)(img, lbl, rng)
+    assert ri.shape == img.shape and rl.shape == lbl.shape
+    assert set(np.unique(rl)) <= set(range(5)) | {255}  # NEAREST: no blends
+
+    ji, jl = ColorJitter(0.4, 0.4, 0.4)(img, lbl, rng)
+    assert ji.dtype == np.uint8 and np.array_equal(jl, lbl)
+
+    li, ll = Lambda(lambda i, l: (i, l + 1))(img, lbl)
+    assert np.array_equal(ll, lbl + 1)

@@ -93,6 +93,75 @@ def _pad_to(img, lbl, size: int, fill_lbl: int = 255):
     return img, lbl
 
 
+class Pad:
+    """Constant-pad both sides; label padded with `label_fill`
+    (reference dataset/transform.py Pad; 255 keeps padding ignored)."""
+
+    def __init__(self, padding: int, fill: int = 0, label_fill: int = 255):
+        self.padding = padding
+        self.fill = fill
+        self.label_fill = label_fill
+
+    def __call__(self, img, lbl, rng=None):
+        p = self.padding
+        img = np.pad(img, ((p, p), (p, p), (0, 0)), constant_values=self.fill)
+        lbl = np.pad(lbl, ((p, p), (p, p)), constant_values=self.label_fill)
+        return img, lbl
+
+
+class Lambda:
+    """Apply a user callable to the pair (reference transform.Lambda)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, img, lbl, rng=None):
+        return self.fn(img, lbl)
+
+
+class RandomRotation:
+    """Rotate both by a uniform angle in [-degrees, degrees]; bilinear for
+    the image, NEAREST for the label (reference transform.RandomRotation)."""
+
+    def __init__(self, degrees: float, label_fill: int = 255):
+        self.degrees = degrees
+        self.label_fill = label_fill
+
+    def __call__(self, img, lbl, rng):
+        angle = float(rng.uniform(-self.degrees, self.degrees))
+        im = _to_pil(img).rotate(angle, Image.BILINEAR, fillcolor=0)
+        lb = _to_pil(lbl).rotate(angle, Image.NEAREST,
+                                 fillcolor=self.label_fill)
+        return np.asarray(im), np.asarray(lb)
+
+
+class ColorJitter:
+    """Brightness/contrast/saturation jitter on the image only
+    (reference transform.ColorJitter; label untouched)."""
+
+    def __init__(self, brightness: float = 0.0, contrast: float = 0.0,
+                 saturation: float = 0.0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+
+    @staticmethod
+    def _factor(rng, amount):
+        return float(rng.uniform(max(0.0, 1 - amount), 1 + amount))
+
+    def __call__(self, img, lbl, rng):
+        x = img.astype(np.float32)
+        if self.brightness > 0:
+            x = x * self._factor(rng, self.brightness)
+        if self.contrast > 0:
+            mean = x.mean()
+            x = (x - mean) * self._factor(rng, self.contrast) + mean
+        if self.saturation > 0:
+            gray = x.mean(axis=-1, keepdims=True)
+            x = (x - gray) * self._factor(rng, self.saturation) + gray
+        return np.clip(x, 0, 255).astype(img.dtype), lbl
+
+
 class RandomHorizontalFlip:
     def __init__(self, p: float = 0.5):
         self.p = p
