@@ -51,6 +51,7 @@ def main():
         contrastive_capacity=int(os.environ.get("BENCH_CON_CAP", "0")),
         use_pallas_contrastive=os.environ.get("BENCH_PALLAS", "1") == "1",
         bf16_upsample=os.environ.get("BENCH_BF16_UP", "1") == "1",
+        bf16_norm=os.environ.get("BENCH_BF16_NORM", "0") == "1",
     )
     cfg0 = config.make_config(dataset="voc", task="15-5s", step=0,
                               backbone=backbone, crop_size=size,

@@ -97,6 +97,7 @@ class Config:
     dtype: str = "bfloat16"        # compute dtype: bfloat16 | float32
     param_dtype: str = "float32"   # master weights
     bf16_upsample: bool = False    # upsample logits in bf16 (~+3% step speed)
+    bf16_norm: bool = False        # BatchNorm compute in bf16 (stats f32)
     data_axis: int = 0             # mesh axis size 0 = all devices
     remat: bool = False            # rematerialize backbone blocks to save HBM
     use_pallas_contrastive: bool = True

@@ -1,0 +1,69 @@
+"""Batched inference / serving entry.
+
+The reference's eval path is tangled into test.py; this module provides a
+standalone jitted predictor with optional test-time augmentation, giving the
+reference's `--fusion-mode {mean,voting,max}` flag (argparser.py:134-135,
+threaded into the model at segmentation_module.py but unused by any entry
+point) a concrete semantics:
+
+  mean   — average class probabilities over TTA views
+  max    — elementwise max of probabilities over views
+  voting — majority vote of per-view argmax predictions
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models.segmentation import resize_bilinear
+
+
+class Predictor:
+    def __init__(self, model, variables, fusion_mode: str = "mean",
+                 flip: bool = False, scales: Sequence[float] = (1.0)):
+        assert fusion_mode in ("mean", "voting", "max")
+        self.model = model
+        self.variables = variables
+        self.fusion_mode = fusion_mode
+        self.flip = flip
+        self.scales = tuple(scales) if not isinstance(scales, float) else (scales,)
+        self._fwd = jax.jit(self._forward)
+
+    def _forward(self, variables, images):
+        n_views_logits = []
+        h, w = images.shape[1], images.shape[2]
+        for s in self.scales:
+            sh, sw = int(round(h * s)), int(round(w * s))
+            x = images if s == 1.0 else resize_bilinear(images, (sh, sw))
+            views = [x]
+            if self.flip:
+                views.append(x[:, :, ::-1, :])
+            for i, v in enumerate(views):
+                logits, _ = self.model.apply(variables, v, train=False)
+                if i == 1:
+                    logits = logits[:, :, ::-1, :]
+                if logits.shape[1] != h:
+                    logits = resize_bilinear(logits, (h, w))
+                n_views_logits.append(logits.astype(jnp.float32))
+
+        probs = [jax.nn.softmax(l, axis=-1) for l in n_views_logits]
+        if self.fusion_mode == "mean":
+            fused = sum(probs) / len(probs)
+            return jnp.argmax(fused, axis=-1), fused
+        if self.fusion_mode == "max":
+            fused = probs[0]
+            for p in probs[1:]:
+                fused = jnp.maximum(fused, p)
+            return jnp.argmax(fused, axis=-1), fused
+        # voting: majority over per-view argmax
+        n_classes = n_views_logits[0].shape[-1]
+        votes = sum(jax.nn.one_hot(jnp.argmax(p, axis=-1), n_classes)
+                    for p in probs)
+        return jnp.argmax(votes, axis=-1), votes / len(probs)
+
+    def __call__(self, images):
+        """images: (B,H,W,3) normalized float32. Returns (preds, fused)."""
+        return self._fwd(self.variables, images)

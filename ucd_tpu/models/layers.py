@@ -21,6 +21,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# process-wide ABN norm compute dtype default (boxed so make_model can set it
+# from cfg.bf16_norm without threading a field through every constructor)
+DEFAULT_NORM_DTYPE = [jnp.float32]
+
+
 def xavier_normal_gain(gain: float):
     """Xavier/Glorot normal with an explicit gain, matching
     `nn.init.xavier_normal_(w, gain)` (reference modules/deeplab.py:41-47)."""
@@ -61,19 +66,25 @@ class ABN(nn.Module):
     #                         utility, utils/utils.py:243-254, as a config
     #                         choice instead of post-hoc module surgery)
     gn_groups: int = 16
+    # None -> module-level default (set by make_model from cfg.bf16_norm).
+    # bfloat16 halves the normalize-chain HBM traffic; XLA reductions
+    # accumulate bf16 sums in f32 on TPU, and running stats stay f32.
+    norm_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        norm_dtype = self.norm_dtype if self.norm_dtype is not None \
+            else DEFAULT_NORM_DTYPE[0]
         if self.norm_type == "gn":
             x = nn.GroupNorm(num_groups=min(self.gn_groups, x.shape[-1]),
-                             epsilon=self.epsilon, dtype=jnp.float32,
+                             epsilon=self.epsilon, dtype=norm_dtype,
                              param_dtype=jnp.float32, name="gn")(x)
         else:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=self.momentum,
                 epsilon=self.epsilon,
-                dtype=jnp.float32,
+                dtype=norm_dtype,
                 param_dtype=jnp.float32,
                 name="bn",
             )(x)

@@ -108,6 +108,9 @@ def make_model(cfg, classes: Sequence[int] | None = None) -> IncrementalSegmenta
     dtype = {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32}[cfg.dtype]
     up_dtype = _jnp.bfloat16 if getattr(cfg, "bf16_upsample", False) \
         else _jnp.float32
+    from .layers import DEFAULT_NORM_DTYPE
+    DEFAULT_NORM_DTYPE[0] = (_jnp.bfloat16 if getattr(cfg, "bf16_norm", False)
+                             else _jnp.float32)
     return IncrementalSegmentationModel(
         classes=tuple(classes if classes is not None else cfg.classes_per_step),
         backbone=cfg.backbone,
