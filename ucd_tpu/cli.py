@@ -192,7 +192,14 @@ def main(argv=None):
     if args.command == "train":
         _run_one_step(cfg, args.profile_dir, synthetic=args.synthetic)
     elif args.command == "test":
-        cfg = dataclasses.replace(cfg, test_only=True)
+        # reference test.py:189-193: --step_ckpt names the checkpoint UNDER
+        # EVALUATION (unlike run.py where it is the previous step's); map it
+        # onto the same-step restore slot
+        updates = {"test_only": True}
+        if cfg.step_ckpt is not None and cfg.ckpt is None:
+            updates["ckpt"] = cfg.step_ckpt
+            updates["step_ckpt"] = None
+        cfg = dataclasses.replace(cfg, **updates)
         _run_one_step(cfg, synthetic=args.synthetic)
     elif args.command == "run-task":
         # all steps of the task in one process (improvement over the

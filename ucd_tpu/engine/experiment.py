@@ -117,10 +117,12 @@ class Experiment:
             prev_model_state = ckpt_lib.load_model_state(path)
             prev_reg = ckpt_lib.load_reg_saved(path)
             if prev_model_state is None:
-                if cfg.debug:
+                if cfg.debug or cfg.test_only:
+                    # eval-only runs don't need the donor; debug mode allows
+                    # training from scratch (reference run.py:226-229)
                     self.logger.info(
                         f"WARNING: no step-{cfg.step - 1} checkpoint at "
-                        f"{path}; training from scratch")
+                        f"{path}; continuing without the donor model")
                     self.model_old = None
                 else:
                     raise FileNotFoundError(path)
