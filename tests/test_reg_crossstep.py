@@ -1,0 +1,77 @@
+"""End-to-end regularizer carry across incremental steps through the real
+checkpoint path: fisher/score accumulated at step 0, exported in the step
+checkpoint (reference Trainer.state_dict, train.py:377-384), restored at
+step 1 where the quadratic penalty becomes active.
+
+Each method runs in a subprocess: two Experiments x two jitted ResNet
+programs per case accumulate enough XLA state to abort the single-core CI
+host when run back-to-back in one process."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+SCENARIO = r'''
+import os, sys
+import numpy as np, jax
+from ucd_tpu import config
+from ucd_tpu.data import SyntheticSegmentation
+from ucd_tpu.engine import load_reg_saved
+from ucd_tpu.engine.experiment import Experiment
+
+method = sys.argv[1]
+tmp = sys.argv[2]
+SIZE = 32
+
+def make_cfg(step):
+    return config.make_config(
+        dataset="voc", task="19-1", step=step, method=method,
+        backbone="resnet50", crop_size=SIZE, batch_size=4, dtype="float32",
+        lr=0.01, epochs=1, logdir=f"{tmp}/logs", ckpt_dir=f"{tmp}/ckpt")
+
+bt = SyntheticSegmentation(n=8, size=SIZE, n_classes=20, seed=0)
+bv = SyntheticSegmentation(n=4, size=SIZE, n_classes=20, seed=1)
+exp0 = Experiment(make_cfg(0), base_train=bt, base_val=bv)
+assert exp0.state.reg_state is not None
+assert not exp0.state.reg_state.penalize  # nothing to anchor to yet
+exp0.run()
+
+saved = load_reg_saved(exp0.cfg.ckpt_path())
+assert saved is not None
+key = "fisher" if method in ("EWC", "RW") else "score"
+assert key in saved, list(saved)
+
+bt1 = SyntheticSegmentation(n=8, size=SIZE, n_classes=21, seed=2)
+exp1 = Experiment(make_cfg(1), base_train=bt1, base_val=bv)
+rs = exp1.state.reg_state
+assert rs is not None and rs.penalize, "penalty must activate at step 1"
+# penalty weights cover the grown tree; new classifier leaves weigh 0
+assert "cls_1" in rs.penalty_w
+assert float(np.abs(np.asarray(rs.penalty_w["cls_1"]["kernel"])).sum()) == 0
+
+batch = next(exp1.train_loader.epoch(0))
+state, m = exp1.train_step(exp1.state, exp1._put_batch(batch), exp1.old_vars)
+l_reg = float(m["l_reg"])
+assert np.isfinite(l_reg) and l_reg >= 0
+print(f"SCENARIO-OK {method} l_reg={l_reg}")
+'''
+
+
+@pytest.mark.parametrize("method", ["EWC", "PI", "RW"])
+def test_regularizer_carries_across_steps(tmp_path, method):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # single virtual device: a multi-device mesh in the child hits XLA's 40s
+    # cross-device rendezvous timeout when the lone physical core is shared
+    # with the pytest parent (collectives are covered by test_sharding.py)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", SCENARIO, method, str(tmp_path)],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert f"SCENARIO-OK {method}" in out.stdout

@@ -233,11 +233,13 @@ def penalty_grad(state: Optional[RegState], params, importance: float):
 
 def export_state(state: Optional[RegState], params) -> Optional[dict]:
     """Raw accumulators for the checkpoint (reference Trainer.state_dict,
-    regularizer .state_dict / .get methods)."""
+    regularizer .state_dict / .get methods). Unlike the reference, the
+    regularizer *name* is not stored (orbax trees hold arrays only); the kind
+    is re-derived from the config at restore."""
     if state is None:
         return None
     if state.kind == "ewc":
-        return {"name": "ewc", "fisher": state.fisher}
+        return {"fisher": state.fisher}
     if state.kind == "pi":
         # score = clamp(delta / (θ-θ_start)^2, min 0), averaged with previous
         # (utils/regularizer.py:185-193; note: reference SUMS with the old
@@ -248,11 +250,11 @@ def export_state(state: Optional[RegState], params) -> Optional[dict]:
         score = tmap(score_leaf, state.delta, params, state.old_params)
         if state.saved_score is not None:
             score = tmap(lambda a, b: a + b, score, state.saved_score)
-        return {"name": "pi", "score": score, "delta": state.delta}
+        return {"score": score, "delta": state.delta}
     if state.kind == "rw":
         # score clamped >= 0, averaged 0.5*(new+old) (utils/regularizer.py:281-287)
         score = tmap(lambda s: jnp.maximum(s, 0.0), state.score)
         if state.saved_score is not None:
             score = tmap(lambda a, b: 0.5 * (a + b), score, state.saved_score)
-        return {"name": "rw", "score": score, "fisher": state.fisher}
+        return {"score": score, "fisher": state.fisher}
     raise NotImplementedError(state.kind)
