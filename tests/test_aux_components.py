@@ -86,3 +86,22 @@ def test_native_ops_parity(rng):
     ref_hist = np.bincount(5 * lbl[mask].astype(np.int64) + pred[mask],
                            minlength=25).reshape(5, 5)
     np.testing.assert_array_equal(hist, ref_hist)
+
+
+def test_native_crop_flip_resize(rng):
+    from ucd_tpu.data import native
+    img = rng.randint(0, 256, size=(16, 20, 3)).astype(np.uint8)
+    lbl = rng.randint(0, 21, size=(16, 20)).astype(np.uint8)
+
+    io, lo = native.crop_flip_pair(img, lbl, 2, 3, 8, 10, flip=False)
+    np.testing.assert_array_equal(io, img[2:10, 3:13])
+    np.testing.assert_array_equal(lo, lbl[2:10, 3:13])
+
+    io, lo = native.crop_flip_pair(img, lbl, 2, 3, 8, 10, flip=True)
+    np.testing.assert_array_equal(io, img[2:10, 3:13][:, ::-1])
+    np.testing.assert_array_equal(lo, lbl[2:10, 3:13][:, ::-1])
+
+    ri, rl = native.resize_pair(img, lbl, 8, 10)
+    assert ri.shape == (8, 10, 3) and rl.shape == (8, 10)
+    # nearest labels never blend
+    assert set(np.unique(rl)) <= set(np.unique(lbl))
