@@ -1,4 +1,5 @@
-from . import losses
+from . import losses, regularizers
+from .assignment import shoot_infs, sinkhorn_knopp
 from .contrastive import (
     ContrastiveBatch,
     build_contrastive_batch,
@@ -7,8 +8,11 @@ from .contrastive import (
     pixel_contrastive_loss,
     ucd_contrastive_loss,
 )
+from .pallas_contrastive import pixel_contrastive_loss_pallas
 
 __all__ = [
-    "losses", "ContrastiveBatch", "build_contrastive_batch", "compact_batch",
+    "losses", "regularizers", "shoot_infs", "sinkhorn_knopp",
+    "ContrastiveBatch", "build_contrastive_batch", "compact_batch",
     "downsample_labels", "pixel_contrastive_loss", "ucd_contrastive_loss",
+    "pixel_contrastive_loss_pallas",
 ]
