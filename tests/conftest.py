@@ -13,6 +13,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize hook runs at interpreter start (before this file)
+# and may have imported jax with JAX_PLATFORMS=axon already baked into the
+# config — env mutation above is then too late. Forcing the config value
+# works as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
