@@ -24,6 +24,7 @@ def make_cfg(tmp_path, step=0, method="FT", **kw):
                 dtype="float32", lr=0.01, epochs=1, print_interval=2,
                 logdir=str(tmp_path / "logs"),
                 ckpt_dir=str(tmp_path / "ckpt"),
+                pretrained=False,
                 use_pallas_contrastive=False, contrastive_capacity=32)
     base.update(kw)
     return config.make_config(**base)
@@ -97,17 +98,59 @@ def test_cli_config_roundtrip():
     assert cfg.batch_size == 8
 
 
-def test_same_step_resume(tmp_path, bases):
-    """--ckpt resume restores model/epoch/best (reference run.py:249-260)."""
-    base_train, base_val = bases
-    cfg = make_cfg(tmp_path, step=0, epochs=2)
-    exp = Experiment(cfg, base_train=base_train, base_val=base_val)
-    exp.run()
+def _tree_equal(a, b, what):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb), what
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=what)
 
-    cfg_resume = dataclasses.replace(cfg, ckpt=cfg.ckpt_path(), epochs=3)
-    exp2 = Experiment(cfg_resume, base_train=base_train, base_val=base_val)
-    assert exp2.cur_epoch == 2  # saved epoch 1 -> resume at 2
-    np.testing.assert_allclose(
-        np.asarray(exp2.state.params["cls_0"]["kernel"]),
-        np.asarray(exp.state.params["cls_0"]["kernel"]))
-    exp2.run()  # continues for 1 more epoch without error
+
+def test_same_step_resume_is_complete(tmp_path, bases):
+    """--ckpt resume restores model + SGD momentum + schedule position + EWC
+    fisher (reference run.py:249-260 restores all of it): a 2-epoch run +
+    resume for 1 more is BIT-IDENTICAL to an uninterrupted 3-epoch run."""
+    base_train, base_val = bases
+    cfgA = make_cfg(tmp_path, step=0, method="EWC", epochs=3, name="A")
+    expA = Experiment(cfgA, base_train=base_train, base_val=base_val)
+    expA.run()
+
+    # B: same 3-epoch schedule (PolyLR total_iters must match A's), but
+    # "crashes" after the epoch-1 checkpoint
+    cfgB = make_cfg(tmp_path, step=0, method="EWC", epochs=3, name="B")
+    expB = Experiment(cfgB, base_train=base_train, base_val=base_val)
+    for ep in range(2):
+        expB.train_epoch(ep)
+        expB.cur_epoch += 1
+    expB.save(1, 0.0)
+
+    cfgC = dataclasses.replace(cfgB, ckpt=cfgB.ckpt_path())
+    expC = Experiment(cfgC, base_train=base_train, base_val=base_val)
+    assert expC.cur_epoch == 2  # saved epoch 1 -> resume at 2
+    # restored momentum trace, schedule count and fisher are bit-identical
+    # to the in-process state they were saved from
+    _tree_equal(expB.state.opt_state, expC.state.opt_state, "opt_state")
+    _tree_equal(expB.state.reg_state.fisher, expC.state.reg_state.fisher,
+                "ewc fisher")
+    assert int(expC.state.step) == int(expB.state.step)
+
+    expC.run()  # epoch 2 only
+    _tree_equal(expA.state.params, expC.state.params, "params after resume")
+    _tree_equal(expA.state.opt_state, expC.state.opt_state,
+                "opt_state after resume")
+    _tree_equal(expA.state.reg_state.fisher, expC.state.reg_state.fisher,
+                "fisher after resume")
+
+
+def test_resume_schema_error(tmp_path, bases):
+    """A checkpoint that predates the schema fails with an actionable error,
+    not a KeyError (VERDICT weak #6)."""
+    import orbax.checkpoint as ocp
+    base_train, base_val = bases
+    bad = str(tmp_path / "bad_ckpt")
+    ocp.PyTreeCheckpointer().save(
+        bad, {"model_state": {"params": {"x": np.zeros(1)}}}, force=True)
+    cfg = make_cfg(tmp_path, step=0, ckpt=bad)
+    with pytest.raises(ValueError, match="schema"):
+        Experiment(cfg, base_train=base_train, base_val=base_val)

@@ -112,3 +112,64 @@ def test_bn_math_matches_torch(rng):
     out = abn.apply(variables, x_nhwc, False)
     out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(out_nchw, ref, rtol=1e-5, atol=1e-6)
+
+
+def _save_fake_release(path, rng, structure=(3, 4, 6, 3)):
+    """torch.save a mapillary-layout release blob ({'state_dict': ...})."""
+    import torch
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in fake_torch_sd(rng, structure=structure).items()}
+    torch.save({"state_dict": sd}, path)
+
+
+def test_experiment_loads_pretrained_body(tmp_path, rng):
+    """End-to-end: Experiment at step 0 with pretrained=True initializes the
+    ResNet body from the converted release file (reference run.py:161-167 +
+    segmentation_module.py:25-43)."""
+    from ucd_tpu import config
+    from ucd_tpu.data import SyntheticSegmentation
+    from ucd_tpu.engine.experiment import Experiment
+    from ucd_tpu.models.pretrained import load_pretrained_body
+
+    ppath = str(tmp_path / "resnet50_iabn_sync.pth.tar")
+    _save_fake_release(ppath, rng)  # (3,4,6,3) bottleneck == resnet50
+
+    cfg = config.make_config(
+        dataset="voc", task="19-1", step=0, method="FT",
+        backbone="resnet50", crop_size=32, batch_size=4, dtype="float32",
+        epochs=1, logdir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        pretrained=True, pretrained_path=ppath)
+    bt = SyntheticSegmentation(n=8, size=32, n_classes=20, seed=0)
+    bv = SyntheticSegmentation(n=4, size=32, n_classes=20, seed=1)
+    exp = Experiment(cfg, base_train=bt, base_val=bv)
+
+    converted = load_pretrained_body(ppath)
+    body = exp.state.params["body"]
+    np.testing.assert_allclose(
+        np.asarray(body["mod1_conv1"]["kernel"]),
+        converted["params"]["mod1_conv1"]["kernel"])
+    np.testing.assert_allclose(
+        np.asarray(body["mod4_block3"]["conv2"]["kernel"]),
+        converted["params"]["mod4_block3"]["conv2"]["kernel"])
+    np.testing.assert_allclose(
+        np.asarray(exp.state.batch_stats["body"]["mod2_block1"]["bn1"]["bn"]["mean"]),
+        converted["batch_stats"]["mod2_block1"]["bn1"]["bn"]["mean"])
+
+
+def test_experiment_missing_pretrained_raises(tmp_path):
+    """pretrained=True + absent release file is a hard, actionable error
+    (the reference's intended behavior: torch.load would raise)."""
+    from ucd_tpu import config
+    from ucd_tpu.data import SyntheticSegmentation
+    from ucd_tpu.engine.experiment import Experiment
+
+    cfg = config.make_config(
+        dataset="voc", task="19-1", step=0, backbone="resnet50",
+        crop_size=32, batch_size=4, dtype="float32", epochs=1,
+        logdir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
+        pretrained=True,
+        pretrained_path=str(tmp_path / "nope.pth.tar"))
+    bt = SyntheticSegmentation(n=8, size=32, n_classes=20, seed=0)
+    with pytest.raises(FileNotFoundError, match="no_pretrained"):
+        Experiment(cfg, base_train=bt, base_val=bt)

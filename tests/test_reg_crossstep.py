@@ -29,7 +29,8 @@ def make_cfg(step):
     return config.make_config(
         dataset="voc", task="19-1", step=step, method=method,
         backbone="resnet50", crop_size=SIZE, batch_size=4, dtype="float32",
-        lr=0.01, epochs=1, logdir=f"{tmp}/logs", ckpt_dir=f"{tmp}/ckpt")
+        lr=0.01, epochs=1, logdir=f"{tmp}/logs", ckpt_dir=f"{tmp}/ckpt",
+        pretrained=False)
 
 bt = SyntheticSegmentation(n=8, size=SIZE, n_classes=20, seed=0)
 bv = SyntheticSegmentation(n=4, size=SIZE, n_classes=20, seed=1)

@@ -36,7 +36,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     f = dataclasses.fields(Config)
     defaults = {x.name: x.default for x in f}
 
-    p.add_argument("--dataset", choices=["voc", "ade", "city"],
+    p.add_argument("--dataset",
+                   choices=["voc", "ade", "city", "city_domain"],
                    default="voc")
     p.add_argument("--task", default="19-1",
                    choices=task_registry.get_task_list())
@@ -99,7 +100,24 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--reg_iterations", type=int, default=10)
 
     p.add_argument("--crop_val", action="store_false", default=True)
+    p.add_argument("--val_on_trainset", action="store_true", default=False)
     p.add_argument("--val_interval", type=int, default=1)
+    p.add_argument("--ckpt_interval", type=int, default=1)
+    # reference spelling: passing --visualize DISABLES TB summaries
+    # (store_false, default True — argparser.py:116)
+    p.add_argument("--visualize", action="store_false", default=True)
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="override the dataset's class count "
+                        "(reference argparser.py:61)")
+    p.add_argument("--fusion-mode", "--fusion_mode", dest="fusion_mode",
+                   choices=["mean", "voting", "max"], default="mean")
+    p.add_argument("--tta", action="store_true", default=False,
+                   help="test-time augmentation: eval via the Predictor "
+                        "with --fusion-mode/--test_scales/--test_flip")
+    p.add_argument("--test_scales", default="1.0",
+                   help="comma-separated TTA scale pyramid, e.g. "
+                        "'0.75,1.0,1.25'")
+    p.add_argument("--test_flip", action="store_true", default=False)
     p.add_argument("--print_interval", type=int, default=10)
     p.add_argument("--logdir", default="./logs")
     p.add_argument("--name", default="Experiment")
@@ -143,7 +161,12 @@ def config_from_args(args: argparse.Namespace) -> Config:
         regularizer=args.regularizer, reg_importance=args.reg_importance,
         reg_alpha=args.reg_alpha, reg_normalize=not args.reg_no_normalize,
         reg_iterations=args.reg_iterations,
-        crop_val=args.crop_val, val_interval=args.val_interval,
+        crop_val=args.crop_val, val_on_trainset=args.val_on_trainset,
+        val_interval=args.val_interval, ckpt_interval=args.ckpt_interval,
+        visualize=args.visualize, num_classes_override=args.num_classes,
+        fusion_mode=args.fusion_mode,
+        test_scales=tuple(float(s) for s in args.test_scales.split(",")),
+        test_flip=args.test_flip,
         print_interval=args.print_interval, logdir=args.logdir,
         name=args.name, ckpt=args.ckpt, step_ckpt=args.step_ckpt,
         ckpt_dir=args.ckpt_dir, test_only=args.test_only,
@@ -167,14 +190,15 @@ def _make_bases(cfg: Config, n: int):
                                   seed=cfg.random_seed + 1000))
 
 
-def _run_one_step(cfg: Config, profile_dir=None, synthetic: int = 0):
+def _run_one_step(cfg: Config, profile_dir=None, synthetic: int = 0,
+                  tta: bool = False):
     from .engine.experiment import Experiment
     from .utils.reporting import write_step_csv
 
     base_train, base_val = _make_bases(cfg, synthetic)
     exp = Experiment(cfg, base_train=base_train, base_val=base_val)
     exp.run(profile_dir=profile_dir)
-    score = exp.final_test()
+    score = exp.predict_test() if tta else exp.final_test()
     if cfg.sample_num > 0:
         out = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}/samples"
         n = exp.visualize(out, cfg.sample_num)
@@ -190,7 +214,8 @@ def main(argv=None):
     cfg = config_from_args(args)
 
     if args.command == "train":
-        _run_one_step(cfg, args.profile_dir, synthetic=args.synthetic)
+        _run_one_step(cfg, args.profile_dir, synthetic=args.synthetic,
+                      tta=args.tta)
     elif args.command == "test":
         # reference test.py:189-193: --step_ckpt names the checkpoint UNDER
         # EVALUATION (unlike run.py where it is the previous step's); map it
@@ -200,7 +225,7 @@ def main(argv=None):
             updates["ckpt"] = cfg.step_ckpt
             updates["step_ckpt"] = None
         cfg = dataclasses.replace(cfg, **updates)
-        _run_one_step(cfg, synthetic=args.synthetic)
+        _run_one_step(cfg, synthetic=args.synthetic, tta=args.tta)
     elif args.command == "run-task":
         # all steps of the task in one process (improvement over the
         # reference's one-launch-per-step, SURVEY.md §7 item 8)

@@ -104,7 +104,14 @@ class Config:
 
     # eval / logging / ckpt
     crop_val: bool = True
+    val_on_trainset: bool = False  # test on the train split (argparser.py:100)
     val_interval: int = 1
+    ckpt_interval: int = 1         # save every N validated epochs (argparser.py:122)
+    visualize: bool = True         # TB summaries + sample images (argparser.py:116)
+    num_classes_override: Optional[int] = None  # argparser.py:61
+    fusion_mode: str = "mean"      # TTA fusion: mean|voting|max (argparser.py:134)
+    test_scales: tuple = (1.0,)    # TTA view pyramid for the predict path
+    test_flip: bool = False        # TTA horizontal flip
     print_interval: int = 10
     logdir: str = "./logs"
     name: str = "Experiment"
@@ -118,6 +125,8 @@ class Config:
     # -- derived ----------------------------------------------------------
     @property
     def num_classes(self) -> int:
+        if self.num_classes_override is not None:
+            return self.num_classes_override
         return NUM_CLASSES[self.dataset]
 
     @property
@@ -148,11 +157,20 @@ class Config:
         step = self.step if step is None else step
         return f"{self.ckpt_dir}/{self.task_name}_{self.name}_{step}"
 
+    def resolve_pretrained_path(self) -> str:
+        """ImageNet backbone release file (reference
+        segmentation_module.py:27: pretrained/{backbone}_{norm_act}.pth.tar)."""
+        if self.pretrained_path is not None:
+            return self.pretrained_path
+        return f"pretrained/{self.backbone}_{self.norm_act}.pth.tar"
+
     def validate(self) -> "Config":
         assert self.dataset in NUM_CLASSES, f"unknown dataset {self.dataset}"
         assert self.output_stride in (8, 16)
         assert self.backbone in ("resnet50", "resnet101")
         assert self.lr_policy in ("poly", "step")
+        assert self.fusion_mode in ("mean", "voting", "max")
+        assert self.ckpt_interval >= 1
         assert self.method is None or self.method in METHODS
         assert self.regularizer in (None, "ewc", "pi", "rw")
         task_dict = task_registry.get_task_dict(self.dataset, self.task)

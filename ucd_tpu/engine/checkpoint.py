@@ -22,8 +22,11 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(path: str, state, epoch: int, best_score: float,
-                    reg_saved: Optional[dict] = None) -> None:
-    """Write the step checkpoint (reference run.py:32-43)."""
+                    reg_saved: Optional[dict] = None,
+                    reg_full: Optional[dict] = None) -> None:
+    """Write the step checkpoint (reference run.py:32-43). `reg_saved` is the
+    cross-step export (next step's importance weights); `reg_full` is the raw
+    mid-step accumulator snapshot for same-step --ckpt resume."""
     path = os.path.abspath(path)
     payload = {
         "epoch": np.asarray(epoch),
@@ -35,10 +38,75 @@ def save_checkpoint(path: str, state, epoch: int, best_score: float,
         "optimizer_state": _to_numpy(state.opt_state),
         "step": np.asarray(state.step),
     }
+    trainer_state = {}
     if reg_saved is not None:
-        payload["trainer_state"] = {"regularizer": _to_numpy(reg_saved)}
+        trainer_state["regularizer"] = _to_numpy(reg_saved)
+    if reg_full is not None:
+        trainer_state["regularizer_full"] = _to_numpy(reg_full)
+    if trainer_state:
+        payload["trainer_state"] = trainer_state
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
+
+
+_SCHEMA = ("epoch", "best_score", "model_state", "optimizer_state", "step")
+
+
+def check_schema(ckpt: dict, path: str) -> dict:
+    """Actionable failure on schema drift instead of a bare KeyError deep in
+    Experiment init."""
+    missing = [k for k in _SCHEMA if k not in ckpt]
+    if missing or not isinstance(ckpt.get("model_state"), dict) \
+            or "params" not in ckpt["model_state"] \
+            or "batch_stats" not in ckpt["model_state"]:
+        raise ValueError(
+            f"checkpoint at {path!r} does not match the ucd_tpu schema "
+            f"(missing keys: {missing or ['model_state.params/batch_stats']}; "
+            f"found: {sorted(ckpt)}). It may come from an older build — "
+            f"re-save it or pass a different --ckpt.")
+    return ckpt
+
+
+def restore_like(template, raw):
+    """Rebuild `template`'s pytree structure (tuples, namedtuples such as
+    optax states) from an orbax raw restore, which returns nested dicts with
+    stringified indices / field names. Shape-checks every leaf."""
+    if template is None:
+        return None
+    if isinstance(template, dict):
+        extra = set(raw) - set(template) if isinstance(raw, dict) else set()
+        missing = set(template) - set(raw) if isinstance(raw, dict) else set()
+        if not isinstance(raw, dict) or extra or missing:
+            raise ValueError(
+                f"checkpoint subtree mismatch: expected dict keys "
+                f"{sorted(template)}, got "
+                f"{sorted(raw) if isinstance(raw, dict) else type(raw)}")
+        return {k: restore_like(v, raw[k]) for k, v in template.items()}
+    if isinstance(template, (tuple, list)):
+        fields = getattr(template, "_fields", None)
+        if len(template) == 0:
+            return template  # e.g. optax EmptyState (orbax restores as None)
+        if raw is None:
+            raise ValueError(
+                f"checkpoint is missing a subtree expected to match "
+                f"{type(template).__name__} with {len(template)} children")
+        def child(i):
+            if isinstance(raw, dict):
+                if fields is not None and fields[i] in raw:
+                    return raw[fields[i]]
+                return raw[str(i)]
+            return raw[i]
+        vals = [restore_like(v, child(i)) for i, v in enumerate(template)]
+        if fields is not None:
+            return type(template)(*vals)
+        return type(template)(vals)
+    # leaf
+    arr = np.asarray(raw)
+    tshape = tuple(np.shape(template))
+    if arr.shape != tshape:
+        raise ValueError(
+            f"checkpoint leaf shape {arr.shape} != expected {tshape}")
+    return jax.numpy.asarray(arr)
 
 
 def load_checkpoint(path: str) -> Optional[dict]:
@@ -60,3 +128,11 @@ def load_reg_saved(path: str) -> Optional[dict]:
         return None
     ts = ckpt.get("trainer_state")
     return None if ts is None else ts.get("regularizer")
+
+
+def load_reg_full(ckpt: Optional[dict]) -> Optional[dict]:
+    """Mid-step accumulator snapshot from an already-restored checkpoint."""
+    if ckpt is None:
+        return None
+    ts = ckpt.get("trainer_state")
+    return None if ts is None else ts.get("regularizer_full")

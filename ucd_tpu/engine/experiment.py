@@ -33,6 +33,7 @@ from ..data.transforms import train_transform, val_transform
 from ..models import make_model
 from ..ops import regularizers as R
 from ..parallel import batch_sharding, make_mesh_for_batch, replicated
+from ..utils.viz import compose_sample_png
 from . import checkpoint as ckpt_lib
 from .logger import Logger
 from .metrics import empty_confusion, results_from_confusion, results_to_str
@@ -70,13 +71,18 @@ def get_datasets(cfg: Config, base_train=None, base_val=None):
             idxs_path=(f"{idx_dir}/val-{cfg.step}.npy" if idx_dir else None),
             masking=cfg.masking, overlap=True, base=base_val)
 
+    # --val_on_trainset: test on the TRAIN split (reference run.py:108-109,
+    # idx cache switches to test_on_train-{step}.npy)
+    image_set = "train" if cfg.val_on_trainset else "val"
+    test_base = base_train if cfg.val_on_trainset else (
+        base_val if base_val is not None else base_train)
     test_dst = make_incremental_dataset(
-        cfg.dataset, cfg.data_root, train=False,
+        cfg.dataset, cfg.data_root, train=cfg.val_on_trainset,
         transform=val_transform(cfg.crop_size if cfg.crop_val else None),
         labels=labels_cum, labels_old=None,
-        idxs_path=(f"{idx_dir}/test_on_val-{cfg.step}.npy" if idx_dir else None),
-        masking=True, overlap=True,
-        base=base_val if base_val is not None else base_train)
+        idxs_path=(f"{idx_dir}/test_on_{image_set}-{cfg.step}.npy"
+                   if idx_dir else None),
+        masking=True, overlap=True, base=test_base)
 
     return train_dst, val_dst, test_dst, len(labels_cum) + 1
 
@@ -93,7 +99,8 @@ class Experiment:
 
         logdir = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}"
         self.logger = logger or Logger(logdir, rank=jax.process_index(),
-                                       debug=cfg.debug, step=cfg.step)
+                                       debug=cfg.debug, step=cfg.step,
+                                       summary=cfg.visualize)
 
         self.train_dst, self.val_dst, self.test_dst, _ = get_datasets(
             cfg, base_train, base_val)
@@ -127,10 +134,35 @@ class Experiment:
                 else:
                     raise FileNotFoundError(path)
 
+        # ImageNet-pretrained backbone (reference segmentation_module.py:25-43,
+        # run.py:161-167): mandatory for accuracy parity. Only needed when no
+        # previous-step checkpoint supplies the body (a cross-step restore
+        # overwrites every pretrained leaf), and never for eval-only runs
+        # (the body comes from --ckpt / --step_ckpt there).
+        pretrained_body = None
+        if cfg.pretrained and prev_model_state is None and not cfg.test_only:
+            from ..models.pretrained import load_pretrained_body
+            ppath = cfg.resolve_pretrained_path()
+            pretrained_body = load_pretrained_body(ppath)
+            if pretrained_body is None:
+                msg = (
+                    f"pretrained=True but no backbone release file at "
+                    f"{ppath!r}. Download the mapillary inplace-abn ImageNet "
+                    f"release ({cfg.backbone}_{cfg.norm_act}.pth.tar) into "
+                    f"pretrained/, point --pretrained_path at it, or pass "
+                    f"--no_pretrained to train from scratch.")
+                if cfg.debug:
+                    # debug mode allows scratch training (mirrors the donor
+                    # leniency above); production runs hard-error like the
+                    # reference's torch.load would
+                    self.logger.info("WARNING: " + msg)
+                else:
+                    raise FileNotFoundError(msg)
+
         self.state, self.old_vars = build_train_state(
             cfg, self.model, jax.random.key(cfg.random_seed),
             self.total_iters, prev_model_state=prev_model_state,
-            prev_reg_saved=prev_reg,
+            prev_reg_saved=prev_reg, pretrained_body=pretrained_body,
             input_shape=(1, cfg.crop_size, cfg.crop_size, 3))
         self.state = jax.device_put(self.state, self.rep)
         if self.old_vars is not None:
@@ -149,13 +181,23 @@ class Experiment:
 
         self.cur_epoch = 0
         self.best_score = 0.0
-        # same-step resume (reference run.py:249-260)
+        self.last_val_samples: list = []
+        # same-step resume (reference run.py:249-260): model, optimizer
+        # (momentum + schedule position), epoch/best, and the regularizer's
+        # in-flight accumulators — a resumed run is bit-identical to an
+        # uninterrupted one (tested in test_experiment.py)
         if cfg.ckpt is not None:
             ck = ckpt_lib.load_checkpoint(cfg.ckpt)
             if ck is not None:
+                ckpt_lib.check_schema(ck, cfg.ckpt)
+                opt_state = ckpt_lib.restore_like(self.state.opt_state,
+                                                  ck["optimizer_state"])
+                reg_state = R.restore_full(self.state.reg_state,
+                                           ckpt_lib.load_reg_full(ck))
                 self.state = self.state.replace(
                     params=ck["model_state"]["params"],
                     batch_stats=ck["model_state"]["batch_stats"],
+                    opt_state=opt_state, reg_state=reg_state,
                     step=jnp.asarray(ck["step"]))
                 self.cur_epoch = int(ck["epoch"]) + 1
                 self.best_score = float(ck["best_score"])
@@ -185,26 +227,41 @@ class Experiment:
         cfg = self.cfg
         t0 = time.perf_counter()
         sums, n = {}, 0
-        interval = {}
+        # metrics stay ON DEVICE between print intervals: fetching every step
+        # would force a device->host sync per iteration — the .item() stall
+        # the reference is criticized for (SURVEY §3.2) and the reason the
+        # round-1 product loop was slower than bench.py. One device_get per
+        # print_interval keeps the dispatch queue full.
+        pending: list[dict] = []
+
+        def drain():
+            if not pending:
+                return
+            for fm in jax.device_get(pending):
+                for k, v in fm.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            pending.clear()
+
         for step, batch in enumerate(self.train_loader.epoch(epoch)):
             self.state, m = self.train_step(self.state,
                                             self._put_batch(batch),
                                             self.old_vars)
             n += 1
-            for k, v in m.items():
-                interval[k] = interval.get(k, 0.0) + float(v)
+            pending.append(m)
             if (step + 1) % cfg.print_interval == 0:
-                avg = interval["loss_tot"] / cfg.print_interval
+                fetched = jax.device_get(pending)
+                pending.clear()
+                for fm in fetched:
+                    for k, v in fm.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                avg = (sum(float(fm["loss_tot"]) for fm in fetched)
+                       / len(fetched))
                 self.logger.info(
                     f"Epoch {epoch}, Batch {step + 1}/"
                     f"{len(self.train_loader)}, Loss={avg:.4f}")
                 x = epoch * len(self.train_loader) + step + 1
                 self.logger.add_scalar("Loss", avg, x)
-                for k, v in interval.items():
-                    sums[k] = sums.get(k, 0.0) + v
-                interval = {}
-        for k, v in interval.items():
-            sums[k] = sums.get(k, 0.0) + v
+        drain()
         dt = time.perf_counter() - t0
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["epoch_time_s"] = dt
@@ -222,13 +279,26 @@ class Experiment:
         # fixed eval batch shape: one compile, remainder batches padded with
         # ignore labels
         pad_to = -(-loader.batch_size // n_dev) * n_dev
+        pending = []
+        # sample collection for TB image logging (reference run.py:343-349)
+        want = cfg.sample_num if cfg.visualize else 0
+        samples = []
         for batch in loader.epoch(0):
-            hist, losses, _ = self.eval_step(
+            hist, losses, preds = self.eval_step(
                 variables, self._put_batch(batch, pad_to=pad_to),
                 hist, self.old_vars)
             n += 1
-            for k, v in losses.items():
+            pending.append(losses)
+            for j in range(min(want - len(samples),
+                               batch["label"].shape[0])):
+                samples.append((batch["image"][j], batch["label"][j],
+                                preds[j]))
+        # single host fetch after the whole eval stream (no per-batch sync)
+        for fm in jax.device_get(pending):
+            for k, v in fm.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
+        self.last_val_samples = [(img, lbl, np.asarray(pred))
+                                 for img, lbl, pred in samples]
         res = results_from_confusion(np.asarray(hist),
                                      total_samples=n * loader.batch_size)
         return {k: v / max(n, 1) for k, v in sums.items()}, res
@@ -238,7 +308,8 @@ class Experiment:
         os.makedirs(cfg.ckpt_dir, exist_ok=True)
         reg_saved = R.export_state(self.state.reg_state, self.state.params)
         ckpt_lib.save_checkpoint(cfg.ckpt_path(), self.state, epoch, score,
-                                 reg_saved=reg_saved)
+                                 reg_saved=reg_saved,
+                                 reg_full=R.export_full(self.state.reg_state))
         self.logger.info("[!] Checkpoint saved.")
 
     def run(self, profile_dir: Optional[str] = None) -> dict:
@@ -268,7 +339,8 @@ class Experiment:
                 val_losses, val_score = self.validate()
                 self.logger.info(results_to_str(val_score))
                 score = val_score["Mean IoU"]
-                self.save(epoch, score)
+                if (epoch + 1) % cfg.ckpt_interval == 0:
+                    self.save(epoch, score)
                 self.logger.add_scalar("V-Loss", val_losses.get("loss", 0.0),
                                        epoch)
                 self.logger.add_scalar("Val_Overall_Acc",
@@ -276,6 +348,14 @@ class Experiment:
                 self.logger.add_scalar("Val_MeanIoU", score, epoch)
                 self.logger.add_table("Val_Class_IoU", val_score["Class IoU"],
                                       epoch)
+                # validation sample images: (input | GT | prediction) panels
+                # (reference run.py:343-349)
+                for k, (img, tgt, pred) in enumerate(self.last_val_samples):
+                    panel = compose_sample_png(np.asarray(img),
+                                               np.asarray(tgt), pred,
+                                               cfg.dataset)
+                    self.logger.add_image(f"Sample_{k}",
+                                          panel.transpose(2, 0, 1), epoch)
                 results["V-IoU"] = val_score["Class IoU"]
                 self.best_score = max(self.best_score, score)
             self.cur_epoch += 1
@@ -320,6 +400,34 @@ class Experiment:
                 if n >= max_images:
                     return n
         return n
+
+    def predict_test(self) -> dict:
+        """TTA eval through engine.predictor.Predictor: multi-scale / flipped
+        views fused by cfg.fusion_mode. Gives the reference's --fusion-mode
+        flag (argparser.py:134, threaded into the model but unused by any
+        entry point there) a working CLI path."""
+        from .metrics import confusion_matrix_update
+        from .predictor import Predictor
+        cfg = self.cfg
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        predictor = Predictor(self.model, variables,
+                              fusion_mode=cfg.fusion_mode,
+                              flip=cfg.test_flip, scales=cfg.test_scales)
+        hist = empty_confusion(cfg.tot_classes)
+        loader = DataLoader(self.test_dst,
+                            cfg.batch_size if cfg.crop_val else 1,
+                            shuffle=False, drop_last=False,
+                            seed=cfg.random_seed)
+        n = 0
+        for batch in loader.epoch(0):
+            preds, _ = predictor(jnp.asarray(batch["image"]))
+            hist = confusion_matrix_update(
+                hist, jnp.asarray(batch["label"]), preds, cfg.tot_classes)
+            n += batch["label"].shape[0]
+        score = results_from_confusion(np.asarray(hist), total_samples=n)
+        self.logger.info(results_to_str(score))
+        return score
 
     def final_test(self, base_val=None) -> dict:
         """Test on all seen classes (reference run.py:361-396)."""

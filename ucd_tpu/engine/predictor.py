@@ -23,13 +23,15 @@ from ..models.segmentation import resize_bilinear
 
 class Predictor:
     def __init__(self, model, variables, fusion_mode: str = "mean",
-                 flip: bool = False, scales: Sequence[float] = (1.0)):
+                 flip: bool = False, scales: Sequence[float] = (1.0,)):
         assert fusion_mode in ("mean", "voting", "max")
         self.model = model
         self.variables = variables
         self.fusion_mode = fusion_mode
         self.flip = flip
-        self.scales = tuple(scales) if not isinstance(scales, float) else (scales,)
+        # normalize a bare float/int to a 1-view pyramid
+        self.scales = ((float(scales),) if isinstance(scales, (int, float))
+                       else tuple(float(s) for s in scales))
         self._fwd = jax.jit(self._forward)
 
     def _forward(self, variables, images):

@@ -240,7 +240,11 @@ def make_eval_step(cfg: Config, model, model_old=None):
             # unscaled, logging only (reference train.py:232)
             lkd = kd_fn(outputs, outputs_old, alpha=cfg.alpha)
         if cfg.loss_de > 0 and has_old and feats_old is not None:
-            lde = L.feature_distillation(feats["body"], feats_old["body"])
+            # body + pre_logits, mirroring the train loop (reference
+            # train.py:227-229 computes both in validate as well)
+            lde = (L.feature_distillation(feats["body"], feats_old["body"])
+                   + L.feature_distillation(feats["pre_logits"],
+                                            feats_old["pre_logits"]))
 
         preds = jnp.argmax(outputs, axis=-1).astype(jnp.int32)
         hist = confusion_matrix_update(hist, labels, preds, n_classes)

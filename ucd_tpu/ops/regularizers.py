@@ -231,6 +231,39 @@ def penalty_grad(state: Optional[RegState], params, importance: float):
                 state.penalty_w, params, state.old_params)
 
 
+_FULL_FIELDS = ("fisher", "delta", "score", "prev_params", "saved_score")
+
+
+def export_full(state: Optional[RegState]) -> Optional[dict]:
+    """Complete mid-step snapshot of the accumulators for SAME-step resume
+    (reference run.py:249-260 restores trainer_state verbatim). Unlike
+    `export_state` (the cross-step handoff, which bakes score/delta into the
+    next step's importance), this keeps the raw in-flight fields + count so a
+    resumed run is bit-identical to an uninterrupted one."""
+    if state is None:
+        return None
+    out: dict = {"count": state.count}
+    for f in _FULL_FIELDS:
+        v = getattr(state, f)
+        if v is not None:
+            out[f] = v
+    return out
+
+
+def restore_full(state: Optional[RegState],
+                 saved: Optional[dict]) -> Optional[RegState]:
+    """Overlay a mid-step snapshot onto a freshly-initialized RegState.
+    penalty_w / old_params are derived deterministically at init from the
+    previous step's export and need no restore."""
+    if state is None or saved is None:
+        return state
+    kw: dict = {"count": jnp.asarray(saved["count"], jnp.int32)}
+    for f in _FULL_FIELDS:
+        if saved.get(f) is not None:
+            kw[f] = saved[f]
+    return state.replace(**kw)
+
+
 def export_state(state: Optional[RegState], params) -> Optional[dict]:
     """Raw accumulators for the checkpoint (reference Trainer.state_dict,
     regularizer .state_dict / .get methods). Unlike the reference, the
