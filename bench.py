@@ -22,6 +22,39 @@ import numpy as np
 A100_REF_IMG_PER_S = 25.0
 
 
+def check_pallas_parity_on_device():
+    """Mosaic-compiled kernel vs dense jnp implementation ON THE BENCH
+    BACKEND (round-1 gap: parity was only ever checked in interpret mode on
+    CPU). Compares the loss AND the anchor-feature gradient at a small shape;
+    rtol 1e-4. Returns (loss_rel_err, grad_rel_err)."""
+    import jax
+    import jax.numpy as jnp
+    from ucd_tpu.ops.contrastive import ucd_contrastive_loss
+
+    rng = np.random.RandomState(7)
+    B, h, w, C, n_old = 2, 16, 16, 64, 16
+    f_new = jnp.asarray(rng.randn(B, h, w, C), jnp.float32)
+    f_old = jnp.asarray(rng.randn(B, h, w, C), jnp.float32)
+    sem_old = jnp.asarray(rng.randn(B, h, w, n_old), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 21, (B, 4 * h, 4 * w)), jnp.int32)
+
+    def loss_fn(f, use_pallas):
+        return ucd_contrastive_loss(f, labels, sem_old, f_old, max_label=20,
+                                    temperature=0.07, capacity=0,
+                                    use_pallas=use_pallas)
+
+    ld, gd = jax.jit(jax.value_and_grad(lambda f: loss_fn(f, False)))(f_new)
+    lp, gp = jax.jit(jax.value_and_grad(lambda f: loss_fn(f, True)))(f_new)
+    ld, lp = float(ld), float(lp)
+    gd, gp = np.asarray(gd, np.float64), np.asarray(gp, np.float64)
+    loss_err = abs(lp - ld) / max(abs(ld), 1e-12)
+    gnorm = np.linalg.norm(gd)
+    grad_err = float(np.linalg.norm(gp - gd) / max(gnorm, 1e-12))
+    assert loss_err <= 1e-4, f"pallas loss mismatch on device: {lp} vs {ld}"
+    assert grad_err <= 1e-4, f"pallas grad mismatch on device: {grad_err}"
+    return loss_err, grad_err
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -38,6 +71,12 @@ def main():
     from ucd_tpu import config
     from ucd_tpu.engine import build_train_state, make_train_step
     from ucd_tpu.models import make_model
+
+    # numerically validate the Mosaic-compiled kernel on this backend before
+    # timing anything (skippable for quick iterations via BENCH_PARITY=0)
+    pallas_loss_err = pallas_grad_err = None
+    if os.environ.get("BENCH_PARITY", "1") == "1":
+        pallas_loss_err, pallas_grad_err = check_pallas_parity_on_device()
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
@@ -68,7 +107,6 @@ def main():
                                         total_iters=100,
                                         prev_model_state=prev,
                                         input_shape=(1, size, size, 3))
-    del state0
 
     rng = np.random.RandomState(0)
     batch_data = {
@@ -99,12 +137,52 @@ def main():
     assert np.isfinite(loss)
 
     img_per_s = batch * steps / dt
-    print(json.dumps({
+
+    # PRODUCT-loop throughput: the same UCD step driven by the real
+    # Experiment epoch loop (DataLoader prefetch + deferred metric fetch).
+    # Round-1 gap: the headline was bench-only while Experiment forced a
+    # host sync per step. Target: within ~5% of the raw-step number.
+    exp_img_per_s = None
+    if os.environ.get("BENCH_EXPERIMENT", "1") == "1":
+        import dataclasses
+        import tempfile
+
+        from ucd_tpu.data import SyntheticSegmentation
+        from ucd_tpu.engine import checkpoint as ckpt_lib
+        from ucd_tpu.engine.experiment import Experiment
+
+        tmp = tempfile.mkdtemp(prefix="ucd_bench_")
+        donor_path = os.path.join(tmp, "step0_ckpt")
+        ckpt_lib.save_checkpoint(donor_path, state0, 0, 0.0)
+        exp_cfg = dataclasses.replace(
+            cfg, epochs=2, pretrained=False, step_ckpt=donor_path,
+            val_interval=999, print_interval=10,
+            logdir=os.path.join(tmp, "logs"),
+            ckpt_dir=os.path.join(tmp, "ckpt"))
+        n_imgs = max(2 * batch, (steps * batch * 5) // 4)
+        # labels must include the step's new classes or the incremental
+        # filter drops every synthetic image
+        bt = SyntheticSegmentation(n=n_imgs, size=size,
+                                   n_classes=cfg.tot_classes, seed=0)
+        bv = SyntheticSegmentation(n=batch, size=size,
+                                   n_classes=cfg.tot_classes, seed=1)
+        exp = Experiment(exp_cfg, base_train=bt, base_val=bv)
+        exp.train_epoch(0)                       # compile + warmup
+        m = exp.train_epoch(1)                   # measured
+        exp_img_per_s = m["images_per_s"]
+
+    out = {
         "metric": "ucd_train_images_per_sec_per_chip",
         "value": round(img_per_s, 2),
         "unit": "images/s",
         "vs_baseline": round(img_per_s / A100_REF_IMG_PER_S, 2),
-    }))
+    }
+    if pallas_loss_err is not None:
+        out["pallas_parity_loss_relerr"] = float(f"{pallas_loss_err:.2e}")
+        out["pallas_parity_grad_relerr"] = float(f"{pallas_grad_err:.2e}")
+    if exp_img_per_s is not None:
+        out["experiment_loop_images_per_s"] = round(exp_img_per_s, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@
 //
 // Build: scripts/build_native.sh -> native/libucd_data_ops.so
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -46,66 +47,162 @@ void normalize_u8_to_f32(const uint8_t* src, float* dst, int64_t pixels,
   }
 }
 
-// Paired crop + optional horizontal flip: image uint8 HWC + label uint8 HW
-// from (H, W) to (ch, cw) starting at (top, left).
-void crop_flip_pair_u8(const uint8_t* img, const uint8_t* lbl,
-                       uint8_t* img_out, uint8_t* lbl_out,
-                       int H, int W, int C, int top, int left, int ch, int cw,
-                       int flip) {
-  for (int y = 0; y < ch; ++y) {
-    const uint8_t* irow = img + (static_cast<int64_t>(top + y) * W + left) * C;
-    const uint8_t* lrow = lbl + static_cast<int64_t>(top + y) * W + left;
-    uint8_t* io = img_out + static_cast<int64_t>(y) * cw * C;
-    uint8_t* lo = lbl_out + static_cast<int64_t>(y) * cw;
-    if (!flip) {
-      std::memcpy(io, irow, static_cast<size_t>(cw) * C);
-      std::memcpy(lo, lrow, static_cast<size_t>(cw));
-    } else {
-      for (int x = 0; x < cw; ++x) {
-        const uint8_t* s = irow + (cw - 1 - x) * C;
-        for (int c = 0; c < C; ++c) io[x * C + c] = s[c];
-        lo[x] = lrow[cw - 1 - x];
-      }
+// ---------------------------------------------------------------------
+// PIL-EXACT paired crop+resize(+flip): the geometric core of the train
+// pipeline (RandomResizedCrop -> RandomHorizontalFlip, reference
+// dataset/transform.py + run.py:49-55). Bit-identical to
+// Pillow Image.resize(..., BILINEAR, box=crop) for the image and
+// Image.resize(..., NEAREST) of the crop for the label, verified by
+// tests/test_native_resample.py against Pillow over randomized shapes.
+//
+// Image path reimplements Pillow's Resample.c: per-axis triangle filter
+// with support scaled by the downscale factor, coefficients rounded to
+// fixed point with PRECISION_BITS = 22, horizontal pass first, int32
+// accumulation, clip8 rounding after each pass.
+// Label path reimplements Pillow's NEAREST affine scaling: incremental
+// double accumulation xx += scale starting at 0.5*scale, truncation.
+
+namespace {
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // Pillow Resample.c
+
+inline uint8_t clip8(int32_t in) {
+  if (in >= (1 << kPrecisionBits << 8)) return 255;
+  if (in <= 0) return 0;
+  return static_cast<uint8_t>(in >> kPrecisionBits);
+}
+
+// Triangle-filter coefficients for one axis (Pillow precompute_coeffs +
+// normalize_coeffs_8bpc). bounds: out x {xmin, xmax}; kk: out x ksize.
+int precompute_coeffs(int in_size, int out_size, double in0, double in1,
+                      int* bounds, int32_t* kk, int ksize) {
+  const double scale = (in1 - in0) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double ss = 1.0 / filterscale;
+  const double support = 1.0 * filterscale;  // bilinear support = 1
+  double* k = new double[ksize];
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = in0 + (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      double w = (x + xmin - center + 0.5) * ss;
+      w = w < 0 ? -w : w;
+      w = w < 1.0 ? 1.0 - w : 0.0;
+      k[x] = w;
+      ww += w;
     }
+    for (int x = 0; x < xmax; ++x) {
+      if (ww != 0.0) k[x] /= ww;
+    }
+    for (int x = 0; x < ksize; ++x) {
+      const double v = (x < xmax ? k[x] : 0.0) * (1 << kPrecisionBits);
+      kk[static_cast<int64_t>(xx) * ksize + x] =
+          static_cast<int32_t>(v < 0 ? v - 0.5 : v + 0.5);
+    }
+    bounds[xx * 2] = xmin;
+    bounds[xx * 2 + 1] = xmax;
+  }
+  delete[] k;
+  return ksize;
+}
+
+inline int ksize_for(int in_size, int out_size) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  return static_cast<int>(std::ceil(filterscale)) * 2 + 1;
+}
+
+// PIL NEAREST index table: incremental double accumulation (Pillow
+// Geometry.c affine scaling path).
+void nearest_indices(int in_size, int out_size, int* idx) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  double xx = 0.5 * scale;
+  for (int i = 0; i < out_size; ++i) {
+    int v = static_cast<int>(xx);  // trunc
+    if (v > in_size - 1) v = in_size - 1;
+    idx[i] = v;
+    xx += scale;
   }
 }
 
-// Bilinear resize uint8 HWC image (half-pixel centers) + nearest resize of
-// the paired uint8 HW label — the geometric core of RandomResizedCrop
-// (reference dataset/transform.py paired semantics: NEAREST for labels).
-void resize_pair_u8(const uint8_t* img, const uint8_t* lbl,
-                    uint8_t* img_out, uint8_t* lbl_out,
-                    int H, int W, int C, int OH, int OW) {
-  const float sy = static_cast<float>(H) / OH;
-  const float sx = static_cast<float>(W) / OW;
-  for (int y = 0; y < OH; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    fy = std::max(0.0f, std::min(fy, static_cast<float>(H - 1)));
-    int y0 = static_cast<int>(fy);
-    int y1 = std::min(y0 + 1, H - 1);
-    float wy = fy - y0;
-    int yn = std::min(static_cast<int>(y * sy), H - 1);
-    for (int x = 0; x < OW; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      fx = std::max(0.0f, std::min(fx, static_cast<float>(W - 1)));
-      int x0 = static_cast<int>(fx);
-      int x1 = std::min(x0 + 1, W - 1);
-      float wx = fx - x0;
+}  // namespace
+
+// img: uint8 HWC with row stride W*C; lbl: uint8 HW with row stride W.
+// Crop window (top, left, ch, cw) -> output (OH, OW); flip mirrors the
+// OUTPUT horizontally (== RandomHorizontalFlip after the resize).
+void pil_resize_pair_u8(const uint8_t* img, const uint8_t* lbl,
+                        uint8_t* img_out, uint8_t* lbl_out,
+                        int W, int C, int top, int left, int ch, int cw,
+                        int OH, int OW, int flip) {
+  // ---- image: horizontal pass over the ch window rows -> tmp, then
+  // vertical pass -> out (Pillow order) -------------------------------
+  const int hks = ksize_for(cw, OW);
+  int* hbounds = new int[2 * OW];
+  int32_t* hk = new int32_t[static_cast<int64_t>(OW) * hks];
+  precompute_coeffs(cw, OW, 0.0, cw, hbounds, hk, hks);
+
+  uint8_t* tmp = new uint8_t[static_cast<int64_t>(ch) * OW * C];
+  for (int y = 0; y < ch; ++y) {
+    const uint8_t* row = img + (static_cast<int64_t>(top + y) * W + left) * C;
+    uint8_t* orow = tmp + static_cast<int64_t>(y) * OW * C;
+    for (int xx = 0; xx < OW; ++xx) {
+      const int xmin = hbounds[xx * 2], xmax = hbounds[xx * 2 + 1];
+      const int32_t* k = hk + static_cast<int64_t>(xx) * hks;
       for (int c = 0; c < C; ++c) {
-        float v00 = img[(static_cast<int64_t>(y0) * W + x0) * C + c];
-        float v01 = img[(static_cast<int64_t>(y0) * W + x1) * C + c];
-        float v10 = img[(static_cast<int64_t>(y1) * W + x0) * C + c];
-        float v11 = img[(static_cast<int64_t>(y1) * W + x1) * C + c];
-        float v = (1 - wy) * ((1 - wx) * v00 + wx * v01)
-                + wy * ((1 - wx) * v10 + wx * v11);
-        img_out[(static_cast<int64_t>(y) * OW + x) * C + c] =
-            static_cast<uint8_t>(v + 0.5f);
+        int32_t ss = 1 << (kPrecisionBits - 1);
+        for (int x = 0; x < xmax; ++x)
+          ss += row[(xmin + x) * C + c] * k[x];
+        orow[xx * C + c] = clip8(ss);
       }
-      int xn = std::min(static_cast<int>(x * sx), W - 1);
-      lbl_out[static_cast<int64_t>(y) * OW + x] =
-          lbl[static_cast<int64_t>(yn) * W + xn];
     }
   }
+  delete[] hbounds;
+  delete[] hk;
+
+  const int vks = ksize_for(ch, OH);
+  int* vbounds = new int[2 * OH];
+  int32_t* vk = new int32_t[static_cast<int64_t>(OH) * vks];
+  precompute_coeffs(ch, OH, 0.0, ch, vbounds, vk, vks);
+
+  for (int yy = 0; yy < OH; ++yy) {
+    const int ymin = vbounds[yy * 2], ymax = vbounds[yy * 2 + 1];
+    const int32_t* k = vk + static_cast<int64_t>(yy) * vks;
+    uint8_t* orow = img_out + static_cast<int64_t>(yy) * OW * C;
+    for (int xx = 0; xx < OW; ++xx) {
+      const int ox = flip ? (OW - 1 - xx) : xx;
+      for (int c = 0; c < C; ++c) {
+        int32_t ss = 1 << (kPrecisionBits - 1);
+        for (int y = 0; y < ymax; ++y)
+          ss += tmp[(static_cast<int64_t>(ymin + y) * OW + xx) * C + c] * k[y];
+        orow[ox * C + c] = clip8(ss);
+      }
+    }
+  }
+  delete[] vbounds;
+  delete[] vk;
+  delete[] tmp;
+
+  // ---- label: PIL NEAREST of the crop window -------------------------
+  int* xi = new int[OW];
+  int* yi = new int[OH];
+  nearest_indices(cw, OW, xi);
+  nearest_indices(ch, OH, yi);
+  for (int yy = 0; yy < OH; ++yy) {
+    const uint8_t* row = lbl + static_cast<int64_t>(top + yi[yy]) * W + left;
+    uint8_t* orow = lbl_out + static_cast<int64_t>(yy) * OW;
+    if (!flip) {
+      for (int xx = 0; xx < OW; ++xx) orow[xx] = row[xi[xx]];
+    } else {
+      for (int xx = 0; xx < OW; ++xx) orow[OW - 1 - xx] = row[xi[xx]];
+    }
+  }
+  delete[] xi;
+  delete[] yi;
 }
 
 // Streaming confusion-matrix accumulation on the host (for CPU-side eval

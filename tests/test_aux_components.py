@@ -88,20 +88,49 @@ def test_native_ops_parity(rng):
     np.testing.assert_array_equal(hist, ref_hist)
 
 
-def test_native_crop_flip_resize(rng):
+def test_native_pil_resample_parity(rng):
+    """The native geometric kernel is BIT-IDENTICAL to Pillow
+    (crop-then-resize, BILINEAR image / NEAREST label) over randomized
+    shapes, crops and flips — the product train pipeline routes
+    RandomResizedCrop/Resize through it."""
+    from PIL import Image
+
     from ucd_tpu.data import native
-    img = rng.randint(0, 256, size=(16, 20, 3)).astype(np.uint8)
-    lbl = rng.randint(0, 21, size=(16, 20)).astype(np.uint8)
+    assert native.has_native()
+    for _ in range(25):
+        h = int(rng.randint(4, 80))
+        w = int(rng.randint(4, 80))
+        oh = int(rng.randint(1, 100))
+        ow = int(rng.randint(1, 100))
+        ch = int(rng.randint(2, h + 1))
+        cw = int(rng.randint(2, w + 1))
+        top = int(rng.randint(0, h - ch + 1))
+        left = int(rng.randint(0, w - cw + 1))
+        flip = bool(rng.randint(0, 2))
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        lbl = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
 
-    io, lo = native.crop_flip_pair(img, lbl, 2, 3, 8, 10, flip=False)
-    np.testing.assert_array_equal(io, img[2:10, 3:13])
-    np.testing.assert_array_equal(lo, lbl[2:10, 3:13])
+        io, lo = native.pil_resize_pair(img, lbl, oh, ow,
+                                        crop=(top, left, ch, cw), flip=flip)
+        ref_i = np.asarray(Image.fromarray(
+            img[top:top + ch, left:left + cw]).resize((ow, oh),
+                                                      Image.BILINEAR))
+        ref_l = np.asarray(Image.fromarray(
+            lbl[top:top + ch, left:left + cw]).resize((ow, oh),
+                                                      Image.NEAREST))
+        if flip:
+            ref_i, ref_l = ref_i[:, ::-1], ref_l[:, ::-1]
+        np.testing.assert_array_equal(io, ref_i)
+        np.testing.assert_array_equal(lo, ref_l)
 
-    io, lo = native.crop_flip_pair(img, lbl, 2, 3, 8, 10, flip=True)
-    np.testing.assert_array_equal(io, img[2:10, 3:13][:, ::-1])
-    np.testing.assert_array_equal(lo, lbl[2:10, 3:13][:, ::-1])
 
-    ri, rl = native.resize_pair(img, lbl, 8, 10)
-    assert ri.shape == (8, 10, 3) and rl.shape == (8, 10)
-    # nearest labels never blend
-    assert set(np.unique(rl)) <= set(np.unique(lbl))
+def test_transforms_use_native_path(rng):
+    """RandomResizedCrop through the product pipeline == the PIL reference
+    for the same RNG stream (native kernel live in the product path)."""
+    from ucd_tpu.data.transforms import RandomResizedCrop
+    img = rng.randint(0, 256, size=(37, 53, 3)).astype(np.uint8)
+    lbl = rng.randint(0, 21, size=(37, 53)).astype(np.uint8)
+    t = RandomResizedCrop(32, (0.5, 2.0))
+    io, lo = t(img, lbl, np.random.default_rng(5))
+    assert io.shape == (32, 32, 3) and lo.shape == (32, 32)
+    assert set(np.unique(lo)) <= set(np.unique(lbl))

@@ -23,7 +23,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -32,6 +32,10 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        # intra-batch item parallelism: PIL / the native geometric kernels
+        # release the GIL, so threads scale on multi-core TPU hosts
+        # (torch DataLoader num_workers equivalent, process-free)
+        self.workers = workers
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.process_count
@@ -74,25 +78,36 @@ class DataLoader:
         order = order[self.process_index * per_host:
                       (self.process_index + 1) * per_host]
 
-        n_batches = len(self)
-        for b in range(n_batches):
-            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-            if len(idxs) == 0:
-                break
-            imgs, lbls = [], []
-            for i in idxs:
-                item_rng = np.random.default_rng(
-                    (self.seed, epoch, int(i)))
-                if hasattr(self.dataset, "get"):
-                    img, lbl = self.dataset.get(int(i), item_rng)
+        def load_item(i):
+            # per-item seeded rng: identical stream regardless of worker
+            # count or scheduling (SURVEY §5.2 determinism)
+            item_rng = np.random.default_rng((self.seed, epoch, int(i)))
+            if hasattr(self.dataset, "get"):
+                return self.dataset.get(int(i), item_rng)
+            return self.dataset[int(i)]
+
+        pool = None
+        if self.workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(self.workers)
+        try:
+            n_batches = len(self)
+            for b in range(n_batches):
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if len(idxs) == 0:
+                    break
+                if pool is not None:
+                    pairs = list(pool.map(load_item, [int(i) for i in idxs]))
                 else:
-                    img, lbl = self.dataset[int(i)]
-                imgs.append(img)
-                lbls.append(lbl)
-            yield {
-                "image": np.stack(imgs).astype(np.float32),
-                "label": np.stack(lbls).astype(np.int32),
-            }
+                    pairs = [load_item(int(i)) for i in idxs]
+                yield {
+                    "image": np.stack([p[0] for p in pairs]).astype(
+                        np.float32),
+                    "label": np.stack([p[1] for p in pairs]).astype(np.int32),
+                }
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def split_train_val(dataset, val_frac: float = 0.2, seed: int = 42):

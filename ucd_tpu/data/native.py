@@ -38,14 +38,10 @@ def _load():
         lib.confusion_update_i32.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
-        lib.crop_flip_pair_u8.argtypes = [
+        lib.pil_resize_pair_u8.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
-        lib.resize_pair_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
         _LIB = lib
@@ -102,45 +98,40 @@ def normalize_image(img_u8: np.ndarray, mean: np.ndarray,
     return (x - mean) / std
 
 
-def crop_flip_pair(img: np.ndarray, lbl: np.ndarray, top: int, left: int,
-                   ch: int, cw: int, flip: bool):
-    """Paired crop + optional horizontal flip (uint8 HWC image, HW label)."""
+def pil_resize_pair(img: np.ndarray, lbl: np.ndarray, oh: int, ow: int,
+                    crop=None, flip: bool = False):
+    """PIL-exact paired crop+resize(+flip): bilinear (Pillow Resample.c
+    fixed-point algorithm, bit-identical) for the image, Pillow NEAREST for
+    the label. `crop` = (top, left, ch, cw) window; None = whole image.
+    This is the geometric core of RandomResizedCrop/Resize — the product
+    train pipeline routes through here when the native lib is built."""
     lib = _load()
-    if lib and img.dtype == np.uint8 and lbl.dtype == np.uint8:
-        img = np.ascontiguousarray(img)
-        lbl = np.ascontiguousarray(lbl)
-        io = np.empty((ch, cw, img.shape[2]), np.uint8)
-        lo = np.empty((ch, cw), np.uint8)
-        lib.crop_flip_pair_u8(_ptr(img, ctypes.c_uint8),
-                              _ptr(lbl, ctypes.c_uint8),
-                              _ptr(io, ctypes.c_uint8),
-                              _ptr(lo, ctypes.c_uint8),
-                              img.shape[0], img.shape[1], img.shape[2],
-                              top, left, ch, cw, int(flip))
-        return io, lo
-    ic = img[top:top + ch, left:left + cw]
-    lc = lbl[top:top + ch, left:left + cw]
-    if flip:
-        ic, lc = ic[:, ::-1].copy(), lc[:, ::-1].copy()
-    return ic, lc
-
-
-def resize_pair(img: np.ndarray, lbl: np.ndarray, oh: int, ow: int):
-    """Bilinear image + nearest label resize (uint8)."""
-    lib = _load()
-    if lib and img.dtype == np.uint8 and lbl.dtype == np.uint8:
+    h, w = img.shape[:2]
+    top, left, ch, cw = crop if crop is not None else (0, 0, h, w)
+    if lib and img.dtype == np.uint8 and lbl.dtype == np.uint8 \
+            and img.ndim == 3:
         img = np.ascontiguousarray(img)
         lbl = np.ascontiguousarray(lbl)
         io = np.empty((oh, ow, img.shape[2]), np.uint8)
         lo = np.empty((oh, ow), np.uint8)
-        lib.resize_pair_u8(_ptr(img, ctypes.c_uint8),
-                           _ptr(lbl, ctypes.c_uint8),
-                           _ptr(io, ctypes.c_uint8),
-                           _ptr(lo, ctypes.c_uint8),
-                           img.shape[0], img.shape[1], img.shape[2], oh, ow)
+        lib.pil_resize_pair_u8(_ptr(img, ctypes.c_uint8),
+                               _ptr(lbl, ctypes.c_uint8),
+                               _ptr(io, ctypes.c_uint8),
+                               _ptr(lo, ctypes.c_uint8),
+                               w, img.shape[2], top, left, ch, cw,
+                               oh, ow, int(flip))
         return io, lo
-    from .transforms import _resize_pair
-    return _resize_pair(img, lbl, (oh, ow))
+    # PIL fallback: crop-then-resize (reference torchvision resized_crop
+    # semantics — NOT box-resize, whose filter window can cross crop edges)
+    from PIL import Image
+    im = Image.fromarray(img[top:top + ch, left:left + cw]).resize(
+        (ow, oh), Image.BILINEAR)
+    lb = Image.fromarray(lbl[top:top + ch, left:left + cw]).resize(
+        (ow, oh), Image.NEAREST)
+    io, lo = np.asarray(im), np.asarray(lb)
+    if flip:
+        io, lo = io[:, ::-1].copy(), lo[:, ::-1].copy()
+    return io, lo
 
 
 def confusion_update(hist: np.ndarray, lbl: np.ndarray,

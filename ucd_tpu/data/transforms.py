@@ -32,9 +32,20 @@ def _to_pil(img: np.ndarray, mode=None):
     return Image.fromarray(img, mode=mode)
 
 
-def _resize_pair(img: np.ndarray, lbl: np.ndarray, size: tuple[int, int]):
-    """size = (h, w); bilinear for image, nearest for label."""
+def _resize_pair(img: np.ndarray, lbl: np.ndarray, size: tuple[int, int],
+                 crop=None):
+    """size = (h, w); bilinear for image, nearest for label; optional
+    (top, left, ch, cw) crop window fused into the resize. Routes through the
+    native PIL-exact kernel when built (native/data_ops.cc
+    pil_resize_pair_u8 — bit-identical to the PIL path, tested)."""
     h, w = size
+    if img.dtype == np.uint8 and lbl.dtype == np.uint8 and img.ndim == 3:
+        from .native import pil_resize_pair
+        return pil_resize_pair(img, lbl, h, w, crop=crop)
+    if crop is not None:
+        top, left, ch, cw = crop
+        img = img[top:top + ch, left:left + cw]
+        lbl = lbl[top:top + ch, left:left + cw]
     im = _to_pil(img).resize((w, h), Image.BILINEAR)
     lb = _to_pil(lbl).resize((w, h), Image.NEAREST)
     return np.asarray(im), np.asarray(lb)
@@ -220,9 +231,9 @@ class RandomResizedCrop:
             if 0 < cw <= w and 0 < ch <= h:
                 top = int(rng.integers(0, h - ch + 1))
                 left = int(rng.integers(0, w - cw + 1))
-                crop_i = img[top:top + ch, left:left + cw]
-                crop_l = lbl[top:top + ch, left:left + cw]
-                return _resize_pair(crop_i, crop_l, (self.size, self.size))
+                # crop fused into the (native) resize: no intermediate copy
+                return _resize_pair(img, lbl, (self.size, self.size),
+                                    crop=(top, left, ch, cw))
         # fallback: center crop of the shorter side
         in_ratio = w / h
         if in_ratio < self.ratio[0]:
