@@ -143,3 +143,63 @@ def test_bilinear_upsample_parity(rng):
                         mode="bilinear", align_corners=False)
     np.testing.assert_allclose(ours, to_nhwc(ref.numpy()), rtol=1e-4,
                                atol=1e-5)
+
+
+def torch_identity_block(x, weights, stride, dilation, eps=1e-5):
+    """Reference IdentityResidualBlock semantics (modules/residual.py:100-180,
+    bottleneck): pre-act bn1+lrelu on the input, proj shortcut from the
+    activated tensor, 1x1(stride) -> BN+lrelu -> 3x3(dil) -> BN+lrelu -> 1x1,
+    residual add with NO post-add activation."""
+    def bn(x, p):
+        return F.batch_norm(x, torch.from_numpy(p["mean"]),
+                            torch.from_numpy(p["var"]),
+                            torch.from_numpy(p["scale"]),
+                            torch.from_numpy(p["bias"]), training=False,
+                            eps=eps)
+
+    def cv(x, w, stride=1, dilation=1, padding=0):
+        return F.conv2d(x, torch.from_numpy(np.transpose(w, (3, 2, 0, 1))),
+                        stride=stride, padding=padding, dilation=dilation)
+
+    bn1 = F.leaky_relu(bn(x, weights["bn1"]["s"]), 0.01)
+    res = cv(bn1, weights["proj_conv"]["kernel"], stride=stride)
+    y = cv(bn1, weights["conv1"]["kernel"], stride=stride)
+    y = F.leaky_relu(bn(y, weights["bn2"]["s"]), 0.01)
+    y = cv(y, weights["conv2"]["kernel"], dilation=dilation,
+           padding=dilation)
+    y = F.leaky_relu(bn(y, weights["bn3"]["s"]), 0.01)
+    y = cv(y, weights["conv3"]["kernel"])
+    return y + res
+
+
+@pytest.mark.parametrize("stride,dilation", [(1, 1), (2, 1), (1, 2)])
+def test_identity_block_parity(rng, stride, dilation):
+    from ucd_tpu.models.resnet import IdentityResidualBlock
+    x = rng.randn(2, 8, 8, 16).astype(np.float32)
+    block = IdentityResidualBlock(channels=(8, 8, 32), stride=stride,
+                                  dilation=dilation)
+    variables = block.init(jax.random.key(0), jnp.array(x), False)
+
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    weights = {}
+    for name in ("conv1", "conv2", "conv3", "proj_conv"):
+        weights[name] = {"kernel": np.asarray(params[name]["kernel"])}
+    for name in ("bn1", "bn2", "bn3"):
+        c = params[name]["bn"]["scale"].shape[0]
+        s = {"scale": np.abs(rng.randn(c)).astype(np.float32) + 0.5,
+             "bias": rng.randn(c).astype(np.float32),
+             "mean": rng.randn(c).astype(np.float32) * 0.1,
+             "var": np.abs(rng.randn(c)).astype(np.float32) + 0.5}
+        params[name]["bn"]["scale"] = jnp.array(s["scale"])
+        params[name]["bn"]["bias"] = jnp.array(s["bias"])
+        stats[name]["bn"]["mean"] = jnp.array(s["mean"])
+        stats[name]["bn"]["var"] = jnp.array(s["var"])
+        weights[name] = {"s": s}
+
+    ours = block.apply({"params": params, "batch_stats": stats},
+                       jnp.array(x), False)
+    ref = torch_identity_block(torch.from_numpy(to_nchw(x)), weights, stride,
+                               dilation)
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(ref.numpy()),
+                               rtol=1e-3, atol=1e-4)

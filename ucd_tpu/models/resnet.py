@@ -80,6 +80,57 @@ class ResidualBlock(nn.Module):
         return nn.leaky_relu(y, self.activation_param)
 
 
+class IdentityResidualBlock(nn.Module):
+    """Pre-activation residual block (reference modules/residual.py:100-180).
+
+    The reference ships it but no `_NETS` entry uses it (SURVEY §2.4 marks it
+    optional); built here for inventory completeness. Contract: bn1 activates
+    the INPUT; the projection shortcut (when shapes change) taps the
+    activated tensor; the main path is conv->bn->conv (basic) or
+    1x1->bn->3x3->bn->1x1 (bottleneck); the residual add has NO post-add
+    activation (pre-act design)."""
+
+    channels: Sequence[int]
+    stride: int = 1
+    dilation: int = 1
+    activation_param: float = 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ch = tuple(self.channels)
+        is_bottleneck = len(ch) == 3
+        out_ch = ch[-1]
+        need_proj = self.stride != 1 or x.shape[-1] != out_ch
+
+        bn1 = ABN(activation_param=self.activation_param, dtype=self.dtype,
+                  name="bn1")(x, train)
+        residual = x
+        if need_proj:
+            residual = conv(out_ch, 1, self.stride, dtype=self.dtype,
+                            name="proj_conv")(bn1)
+
+        if is_bottleneck:
+            y = conv(ch[0], 1, self.stride, dtype=self.dtype,
+                     name="conv1")(bn1)
+            y = ABN(activation_param=self.activation_param, dtype=self.dtype,
+                    name="bn2")(y, train)
+            y = conv(ch[1], 3, 1, self.dilation, dtype=self.dtype,
+                     name="conv2")(y)
+            y = ABN(activation_param=self.activation_param, dtype=self.dtype,
+                    name="bn3")(y, train)
+            y = conv(ch[2], 1, 1, dtype=self.dtype, name="conv3")(y)
+        else:
+            y = conv(ch[0], 3, self.stride, self.dilation, dtype=self.dtype,
+                     name="conv1")(bn1)
+            y = ABN(activation_param=self.activation_param, dtype=self.dtype,
+                    name="bn2")(y, train)
+            y = conv(ch[1], 3, 1, self.dilation, dtype=self.dtype,
+                     name="conv2")(y)
+
+        return y + residual
+
+
 class ResNet(nn.Module):
     """Four-group dilated ResNet; output stride 8 or 16.
 

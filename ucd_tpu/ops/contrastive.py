@@ -209,12 +209,15 @@ def pixel_contrastive_loss(batch: ContrastiveBatch, temperature: float = 0.07,
     mask_p = R & (~eye)
     mask_n = (~R) & pair_valid
 
-    # uncertainty matrix JM_p (utils/utils.py:376-393)
-    JM = batch.anchor_prob @ batch.contrast_prob.T
+    # uncertainty matrix JM_p (utils/utils.py:376-393). HIGHEST precision:
+    # the similarity feeds exp(adc/tau) with |adc/tau| up to ~14, where the
+    # MXU's default bf16 input truncation costs ~1e-2 relative in exp space.
+    HI = jax.lax.Precision.HIGHEST
+    JM = jnp.matmul(batch.anchor_prob, batch.contrast_prob.T, precision=HI)
     M_gt = batch.anchor_is_new[:, None] & batch.contrast_is_new[None, :]
     JM = jnp.where(M_gt, 1.0, JM)
 
-    adc = (A @ C.T) / temperature
+    adc = jnp.matmul(A, C.T, precision=HI) / temperature
     neg_big = jnp.float32(-1e30)
     adc_masked = jnp.where(pair_valid, adc, neg_big)
 

@@ -81,7 +81,8 @@ def _pass1_kernel(af, la, lv, ln, cf, lc, cv, cn,
         neg_out[:] = jnp.zeros_like(neg_out)
         num_out[:] = jnp.zeros_like(num_out)
 
-    adc = jnp.dot(af[:], cf[:].T, preferred_element_type=jnp.float32) / tau
+    adc = jnp.dot(af[:], cf[:].T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST) / tau
     mask_p, mask_n, _ = _tile_masks(la[:], lv[:], ln[:], lc[:], cv[:], cn[:],
                                     row0, col0)
     e = jnp.exp(adc)
@@ -102,10 +103,12 @@ def _pass2_kernel(af, ap, la, lv, ln, cf, cp, lc, cv, cn, neg,
         s_out[:] = jnp.zeros_like(s_out)
         g_out[:] = jnp.zeros_like(g_out)
 
-    adc = jnp.dot(af[:], cf[:].T, preferred_element_type=jnp.float32) / tau
+    adc = jnp.dot(af[:], cf[:].T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST) / tau
     mask_p, _, m_gt = _tile_masks(la[:], lv[:], ln[:], lc[:], cv[:], cn[:],
                                   row0, col0)
-    jm = jnp.dot(ap[:], cp[:].T, preferred_element_type=jnp.float32)
+    jm = jnp.dot(ap[:], cp[:].T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     jm = jnp.where(m_gt, 1.0, jm)
     w = jnp.where(mask_p, jm, 0.0)
 
@@ -127,10 +130,12 @@ def _bwd_kernel(af, ap, la, lv, ln, cf, cp, lc, cv, cn, neg, g_row, coef,
     def _():
         da_out[:] = jnp.zeros_like(da_out)
 
-    adc = jnp.dot(af[:], cf[:].T, preferred_element_type=jnp.float32) / tau
+    adc = jnp.dot(af[:], cf[:].T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST) / tau
     mask_p, mask_n, m_gt = _tile_masks(la[:], lv[:], ln[:], lc[:], cv[:],
                                        cn[:], row0, col0)
-    jm = jnp.dot(ap[:], cp[:].T, preferred_element_type=jnp.float32)
+    jm = jnp.dot(ap[:], cp[:].T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     jm = jnp.where(m_gt, 1.0, jm)
     w = jnp.where(mask_p, jm, 0.0)
 
@@ -138,7 +143,8 @@ def _bwd_kernel(af, ap, la, lv, ln, cf, cp, lc, cv, cn, neg, g_row, coef,
     denom = e + neg[:]
     dadc = coef[:] * (w * (1.0 - e / denom)
                       - jnp.where(mask_n, e, 0.0) * g_row[:])
-    da_out[:] += jnp.dot(dadc, cf[:], preferred_element_type=jnp.float32) / tau
+    da_out[:] += jnp.dot(dadc, cf[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST) / tau
 
 
 def _row_spec():
