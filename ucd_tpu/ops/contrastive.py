@@ -185,7 +185,8 @@ def compact_batch(batch: ContrastiveBatch, capacity: int) -> ContrastiveBatch:
 
 
 def pixel_contrastive_loss(batch: ContrastiveBatch, temperature: float = 0.07,
-                           bug_compatible: bool = False) -> jnp.ndarray:
+                           bug_compatible: bool = False,
+                           precision=None) -> jnp.ndarray:
     """PixelConLossV2 (reference utils/loss.py:403-466) with uncertainty
     weighting P = JM_p computed on the fly from the old-model softmax
     probabilities (JM_p[i,j] = p_i . p_j, forced to 1 where both pixels carry
@@ -209,15 +210,16 @@ def pixel_contrastive_loss(batch: ContrastiveBatch, temperature: float = 0.07,
     mask_p = R & (~eye)
     mask_n = (~R) & pair_valid
 
-    # uncertainty matrix JM_p (utils/utils.py:376-393). HIGHEST precision:
-    # the similarity feeds exp(adc/tau) with |adc/tau| up to ~14, where the
-    # MXU's default bf16 input truncation costs ~1e-2 relative in exp space.
-    HI = jax.lax.Precision.HIGHEST
-    JM = jnp.matmul(batch.anchor_prob, batch.contrast_prob.T, precision=HI)
+    # uncertainty matrix JM_p (utils/utils.py:376-393). `precision` chooses
+    # the MXU mode for the similarity/JM dots: None (default, bf16-input
+    # one-pass — the flash-attention convention) or 'highest' for exactness
+    # checks; see pixel_contrastive_loss_pallas.
+    JM = jnp.matmul(batch.anchor_prob, batch.contrast_prob.T,
+                    precision=precision)
     M_gt = batch.anchor_is_new[:, None] & batch.contrast_is_new[None, :]
     JM = jnp.where(M_gt, 1.0, JM)
 
-    adc = jnp.matmul(A, C.T, precision=HI) / temperature
+    adc = jnp.matmul(A, C.T, precision=precision) / temperature
     neg_big = jnp.float32(-1e30)
     adc_masked = jnp.where(pair_valid, adc, neg_big)
 
@@ -252,7 +254,8 @@ def pixel_contrastive_loss(batch: ContrastiveBatch, temperature: float = 0.07,
 def ucd_contrastive_loss(f_n, labels, l_po, f_o, max_label: int,
                          temperature: float = 0.07, capacity: int = 0,
                          use_pallas: bool = False,
-                         bug_compatible: bool = False) -> jnp.ndarray:
+                         bug_compatible: bool = False,
+                         precision=None) -> jnp.ndarray:
     """End-to-end UCD contrastive term: build batch -> (compact) -> loss.
     Equivalent of `pre_contractive_pixel(...)` + `PixelConLossV2(...)` at
     reference train.py:115-116 (with the arity defect fixed).
@@ -262,6 +265,8 @@ def ucd_contrastive_loss(f_n, labels, l_po, f_o, max_label: int,
     batch = compact_batch(batch, capacity)
     if use_pallas and not bug_compatible:
         from .pallas_contrastive import pixel_contrastive_loss_pallas
-        return pixel_contrastive_loss_pallas(batch, temperature)
+        return pixel_contrastive_loss_pallas(batch, temperature,
+                                              precision=precision)
     return pixel_contrastive_loss(batch, temperature,
-                                  bug_compatible=bug_compatible)
+                                  bug_compatible=bug_compatible,
+                                  precision=precision)
