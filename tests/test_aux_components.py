@@ -134,3 +134,13 @@ def test_transforms_use_native_path(rng):
     io, lo = t(img, lbl, np.random.default_rng(5))
     assert io.shape == (32, 32, 3) and lo.shape == (32, 32)
     assert set(np.unique(lo)) <= set(np.unique(lbl))
+
+
+def test_confusion_matrix_figure(tmp_path, rng):
+    """Confusion heatmap PNG export (reference stream_metrics.py:124-137)."""
+    from ucd_tpu.engine.metrics import confusion_matrix_figure
+    h = rng.randint(0, 50, (21, 21))
+    p = str(tmp_path / "cm.png")
+    confusion_matrix_figure(h, save_path=p)
+    import os
+    assert os.path.getsize(p) > 1000

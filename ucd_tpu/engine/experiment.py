@@ -299,7 +299,8 @@ class Experiment:
                 sums[k] = sums.get(k, 0.0) + float(v)
         self.last_val_samples = [(img, lbl, np.asarray(pred))
                                  for img, lbl, pred in samples]
-        res = results_from_confusion(np.asarray(hist),
+        self.last_confusion = np.asarray(hist)
+        res = results_from_confusion(self.last_confusion,
                                      total_samples=n * loader.batch_size)
         return {k: v / max(n, 1) for k, v in sums.items()}, res
 
@@ -341,12 +342,21 @@ class Experiment:
                 score = val_score["Mean IoU"]
                 if (epoch + 1) % cfg.ckpt_interval == 0:
                     self.save(epoch, score)
+                # scalar/table tags mirror reference run.py:328-339
                 self.logger.add_scalar("V-Loss", val_losses.get("loss", 0.0),
                                        epoch)
+                self.logger.add_scalar("V-Loss-cls",
+                                       val_losses.get("loss", 0.0), epoch)
+                self.logger.add_scalar(
+                    "V-Loss-reg",
+                    sum(val_losses.get(k, 0.0) for k in ("lkd", "lde")),
+                    epoch)
                 self.logger.add_scalar("Val_Overall_Acc",
                                        val_score["Overall Acc"], epoch)
                 self.logger.add_scalar("Val_MeanIoU", score, epoch)
                 self.logger.add_table("Val_Class_IoU", val_score["Class IoU"],
+                                      epoch)
+                self.logger.add_table("Val_Acc_IoU", val_score["Class Acc"],
                                       epoch)
                 # validation sample images: (input | GT | prediction) panels
                 # (reference run.py:343-349)
@@ -357,6 +367,7 @@ class Experiment:
                     self.logger.add_image(f"Sample_{k}",
                                           panel.transpose(2, 0, 1), epoch)
                 results["V-IoU"] = val_score["Class IoU"]
+                results["V-Acc"] = val_score["Class Acc"]
                 self.best_score = max(self.best_score, score)
             self.cur_epoch += 1
 
@@ -438,6 +449,14 @@ class Experiment:
                                  seed=cfg.random_seed)
         losses, score = self.validate(test_loader)
         self.logger.info(results_to_str(score))
+        if cfg.visualize:
+            # confusion-matrix PNG (reference stream_metrics.py:124-137)
+            from .metrics import confusion_matrix_figure
+            out = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}"
+            os.makedirs(out, exist_ok=True)
+            confusion_matrix_figure(
+                self.last_confusion,
+                save_path=f"{out}/confusion_matrix_step{cfg.step}.png")
         self.logger.add_scalar("T_Overall_Acc", score["Overall Acc"],
                                cfg.step)
         self.logger.add_scalar("T_MeanIoU", score["Mean IoU"], cfg.step)

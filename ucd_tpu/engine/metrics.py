@@ -96,3 +96,27 @@ class AverageMeter:
     def get_results(self, key):
         rec = self.book[key]
         return rec[0] / rec[1]
+
+
+def confusion_matrix_figure(hist: np.ndarray, save_path: str = None):
+    """Row-normalized confusion-matrix heatmap (reference
+    metrics/stream_metrics.py:124-137 `confusion_matrix_to_fig` /
+    `save_conf_matrix`). Returns the matplotlib figure; saves a PNG when
+    `save_path` is given. Lazily imports matplotlib (Agg backend) so
+    headless TPU hosts work."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    hist = np.asarray(hist, np.float64)
+    cm = hist / (hist.sum(axis=1, keepdims=True) + 1e-6)
+    fig, ax = plt.subplots()
+    im = ax.imshow(cm, interpolation="nearest", cmap=plt.cm.viridis)
+    ax.figure.colorbar(im, ax=ax)
+    ax.set(title="Confusion Matrix", ylabel="True label",
+           xlabel="Predicted label")
+    fig.tight_layout()
+    if save_path is not None:
+        fig.savefig(save_path)
+        plt.close(fig)
+    return fig
