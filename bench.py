@@ -120,10 +120,13 @@ def main():
             jnp.int32),
     }
 
-    # NOTE: no buffer donation — the axon TPU backend miscompiles donated
-    # step>0 graphs (INVALID_ARGUMENT); costs one extra param copy in HBM
+    # buffer donation is opt-in via UCD_TPU_DONATE=1 (round-1 axon backend
+    # miscompiled donated step>0 graphs with INVALID_ARGUMENT); without it
+    # the step pays one extra param copy in HBM
+    donate = (0,) if os.environ.get("UCD_TPU_DONATE") == "1" else ()
     train_step = jax.jit(make_train_step(cfg, model, model_old,
-                                         total_iters=100))
+                                         total_iters=100),
+                         donate_argnums=donate)
 
     # compile + warmup (value fetch, not just block_until_ready: on the
     # tunneled backend only a concrete transfer forces the chain)

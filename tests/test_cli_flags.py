@@ -93,3 +93,13 @@ def test_visualize_false_skips_samples(exp):
     exp.validate()
     assert exp.last_val_samples == []
     exp.cfg = dataclasses.replace(exp.cfg, visualize=True)
+
+
+def test_auto_resume(exp, tmp_path_factory):
+    """--auto_resume picks up this step's own checkpoint without --ckpt."""
+    # exp (module fixture) has already run and saved a checkpoint
+    cfg = dataclasses.replace(exp.cfg, auto_resume=True, visualize=True)
+    bt = SyntheticSegmentation(n=16, size=SIZE, n_classes=20, seed=0)
+    bv = SyntheticSegmentation(n=8, size=SIZE, n_classes=20, seed=1)
+    exp2 = Experiment(cfg, base_train=bt, base_val=bv)
+    assert exp2.cur_epoch == exp.cfg.epochs  # resumed past the final save

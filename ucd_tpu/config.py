@@ -117,6 +117,9 @@ class Config:
     name: str = "Experiment"
     ckpt_dir: str = "checkpoints/step"
     ckpt: Optional[str] = None     # resume path
+    auto_resume: bool = False      # resume from ckpt_path() if it exists
+                                   # (NEW: the reference requires manual
+                                   # --ckpt after a crash, run.py:249-260)
     step_ckpt: Optional[str] = None  # previous-step checkpoint override
     test_only: bool = False
     sample_num: int = 0

@@ -87,10 +87,26 @@ def get_datasets(cfg: Config, base_train=None, base_val=None):
     return train_dst, val_dst, test_dst, len(labels_cum) + 1
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: repeat runs of the same step skip the
+    (minutes-long on big programs) compile. Opt out with UCD_TPU_NO_CACHE=1."""
+    if os.environ.get("UCD_TPU_NO_CACHE") == "1":
+        return
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser(os.environ.get("UCD_TPU_CACHE_DIR",
+                                              "~/.cache/ucd_tpu_xla")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
+
+
 class Experiment:
     def __init__(self, cfg: Config, base_train=None, base_val=None,
                  mesh=None, logger: Optional[Logger] = None):
         cfg.validate()
+        _enable_compile_cache()
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh_for_batch(
             cfg.batch_size)
@@ -186,10 +202,17 @@ class Experiment:
         # (momentum + schedule position), epoch/best, and the regularizer's
         # in-flight accumulators — a resumed run is bit-identical to an
         # uninterrupted one (tested in test_experiment.py)
-        if cfg.ckpt is not None:
-            ck = ckpt_lib.load_checkpoint(cfg.ckpt)
+        resume_path = cfg.ckpt
+        if resume_path is None and cfg.auto_resume \
+                and os.path.exists(cfg.ckpt_path()):
+            # unattended restart after a preemption/crash: pick up this
+            # step's own checkpoint without an explicit --ckpt
+            resume_path = cfg.ckpt_path()
+            self.logger.info(f"[!] auto-resume from {resume_path}")
+        if resume_path is not None:
+            ck = ckpt_lib.load_checkpoint(resume_path)
             if ck is not None:
-                ckpt_lib.check_schema(ck, cfg.ckpt)
+                ckpt_lib.check_schema(ck, resume_path)
                 opt_state = ckpt_lib.restore_like(self.state.opt_state,
                                                   ck["optimizer_state"])
                 reg_state = R.restore_full(self.state.reg_state,
@@ -201,7 +224,7 @@ class Experiment:
                     step=jnp.asarray(ck["step"]))
                 self.cur_epoch = int(ck["epoch"]) + 1
                 self.best_score = float(ck["best_score"])
-                self.logger.info(f"[!] Model restored from {cfg.ckpt}")
+                self.logger.info(f"[!] Model restored from {resume_path}")
 
     # ------------------------------------------------------------------
     def _put_batch(self, batch, pad_to: Optional[int] = None):
