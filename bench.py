@@ -128,6 +128,17 @@ def main():
                                          total_iters=100),
                          donate_argnums=donate)
 
+    # logical FLOPs of the whole step from the compiled HLO, for an MFU
+    # readout (v5e peak: 197 TFLOP/s bf16)
+    step_flops = 0.0
+    try:
+        lowered = train_step.lower(state, batch_data, old_vars)
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+
     # compile + warmup (value fetch, not just block_until_ready: on the
     # tunneled backend only a concrete transfer forces the chain)
     state, m = train_step(state, batch_data, old_vars)
@@ -207,6 +218,10 @@ def main():
         out["pallas_parity_grad_relerr"] = float(f"{pallas_grad_err:.2e}")
     if exp_img_per_s is not None:
         out["experiment_loop_images_per_s"] = round(exp_img_per_s, 2)
+    if step_flops > 0:
+        tflops_per_s = step_flops / (dt / steps) / 1e12
+        out["model_tflops_per_s"] = round(tflops_per_s, 1)
+        out["mfu_pct_vs_v5e_bf16"] = round(100 * tflops_per_s / 197.0, 1)
     print(json.dumps(out))
 
 
