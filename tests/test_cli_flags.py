@@ -103,3 +103,17 @@ def test_auto_resume(exp, tmp_path_factory):
     bv = SyntheticSegmentation(n=8, size=SIZE, n_classes=20, seed=1)
     exp2 = Experiment(cfg, base_train=bt, base_val=bv)
     assert exp2.cur_epoch == exp.cfg.epochs  # resumed past the final save
+
+
+def test_visualize_dumps_reference_layout(exp, tmp_path_factory):
+    """visualize() writes the reference test.py per-image file set
+    (pre.png/gt.jpg/pre_clo.png/gt_clo.jpg/rgb.jpg, test.py:232-238) plus
+    the composed panel and attention map."""
+    out = str(tmp_path_factory.mktemp("viz"))
+    n = exp.visualize(out, max_images=2)
+    assert n == 2
+    for k in range(2):
+        for suffix in ("_panel.png", "_attention.png", "pre.png", "gt.jpg",
+                       "pre_clo.png", "gt_clo.jpg", "rgb.jpg"):
+            assert os.path.exists(os.path.join(out, f"{k:04d}{suffix}")), \
+                suffix

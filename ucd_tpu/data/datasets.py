@@ -194,6 +194,46 @@ class SyntheticSegmentation:
         return len(self.images)
 
 
+class LearnableSynthetic:
+    """Color-coded synthetic segmentation: each class paints its pixels with
+    a distinct mean color + noise, so the task is actually LEARNABLE (unlike
+    SyntheticSegmentation's random labels). Used by the learnability check —
+    a functional test that the end-to-end training stack reduces loss and
+    reaches nontrivial mIoU, which no amount of shape-level testing shows."""
+
+    def __init__(self, n: int = 32, size: int = 64, n_classes: int = 4,
+                 seed: int = 0, noise: float = 18.0, color_seed: int = 1234):
+        rng = np.random.RandomState(seed)
+        # per-class anchor colors from a SEPARATE seed: train/val splits with
+        # different layout seeds must share the class->color mapping
+        colors = np.random.RandomState(color_seed).randint(
+            32, 224, size=(n_classes, 3))
+        self.images = np.empty((n, size, size, 3), np.uint8)
+        self.labels = np.empty((n, size, size), np.uint8)
+        for i in range(n):
+            lbl = np.zeros((size, size), np.uint8)
+            # a few random class rectangles over background 0
+            for _ in range(4):
+                c = rng.randint(1, n_classes)
+                h0, w0 = rng.randint(0, size // 2, size=2)
+                h1 = h0 + rng.randint(size // 4, size // 2)
+                w1 = w0 + rng.randint(size // 4, size // 2)
+                lbl[h0:h1, w0:w1] = c
+            img = colors[lbl].astype(np.float64)
+            img += rng.randn(size, size, 3) * noise
+            self.images[i] = np.clip(img, 0, 255).astype(np.uint8)
+            self.labels[i] = lbl
+
+    def __getitem__(self, index):
+        return self.images[index], self.labels[index]
+
+    def get_mask(self, index):
+        return self.labels[index]
+
+    def __len__(self):
+        return len(self.images)
+
+
 def make_incremental_dataset(dataset: str, root: str, train: bool,
                              transform, labels, labels_old=None,
                              idxs_path: Optional[str] = None,

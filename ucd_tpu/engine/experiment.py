@@ -430,6 +430,25 @@ class Experiment:
                 a = (att[j] / max(float(att[j].max()), 1e-12) * 255)
                 Image.fromarray(a.astype(np.uint8)).save(
                     os.path.join(out_dir, f"{n:04d}_attention.png"))
+                # reference test.py:232-238 per-image file layout: raw-id
+                # pred/GT + colorized pred/GT + denormalized RGB input
+                from ..utils.viz import Label2Color, color_map
+                from ..data.transforms import Denormalize
+                l2c = Label2Color(color_map(cfg.dataset))
+                tgt = np.asarray(batch["label"][j])
+                pre = f"{n:04d}"
+                Image.fromarray(preds[j].astype(np.uint8)).save(
+                    os.path.join(out_dir, pre + "pre.png"))
+                Image.fromarray(np.clip(tgt, 0, 255).astype(np.uint8)).save(
+                    os.path.join(out_dir, pre + "gt.jpg"))
+                Image.fromarray(l2c(preds[j]).astype(np.uint8)).save(
+                    os.path.join(out_dir, pre + "pre_clo.png"))
+                Image.fromarray(l2c(tgt).astype(np.uint8)).save(
+                    os.path.join(out_dir, pre + "gt_clo.jpg"))
+                rgb = (Denormalize()(np.asarray(batch["image"][j]))
+                       * 255).astype(np.uint8)
+                Image.fromarray(rgb).save(
+                    os.path.join(out_dir, pre + "rgb.jpg"))
                 n += 1
                 if n >= max_images:
                     return n
