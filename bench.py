@@ -86,8 +86,12 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     backbone = os.environ.get("BENCH_BACKBONE", "resnet101")
 
+    # BENCH_METHOD=FT measures the base model step (no donor, no
+    # distillation) for cost attribution against the full UCD step
+    method = os.environ.get("BENCH_METHOD", "UCD")
+    step = 1 if method == "UCD" else 0
     cfg = config.make_config(
-        dataset="voc", task="15-5s", step=1, method="UCD",
+        dataset="voc", task="15-5s", step=step, method=method,
         backbone=backbone, crop_size=size, batch_size=batch,
         dtype="bfloat16",
         contrastive_capacity=int(os.environ.get("BENCH_CON_CAP", "0")),
@@ -100,16 +104,22 @@ def main():
                               dtype="bfloat16")
 
     model = make_model(cfg)
-    model_old = make_model(cfg, classes=cfg.classes_per_step[:-1])
-
-    state0, _ = build_train_state(cfg0, model_old, jax.random.key(0),
-                                  total_iters=100,
-                                  input_shape=(1, size, size, 3))
-    prev = {"params": state0.params, "batch_stats": state0.batch_stats}
-    state, old_vars = build_train_state(cfg, model, jax.random.key(1),
-                                        total_iters=100,
-                                        prev_model_state=prev,
-                                        input_shape=(1, size, size, 3))
+    if method == "UCD":
+        model_old = make_model(cfg, classes=cfg.classes_per_step[:-1])
+        state0, _ = build_train_state(cfg0, model_old, jax.random.key(0),
+                                      total_iters=100,
+                                      input_shape=(1, size, size, 3))
+        prev = {"params": state0.params, "batch_stats": state0.batch_stats}
+        state, old_vars = build_train_state(cfg, model, jax.random.key(1),
+                                            total_iters=100,
+                                            prev_model_state=prev,
+                                            input_shape=(1, size, size, 3))
+    else:
+        model_old = None
+        state0 = old_vars = None
+        state, _ = build_train_state(cfg, model, jax.random.key(1),
+                                     total_iters=100,
+                                     input_shape=(1, size, size, 3))
 
     rng = np.random.RandomState(0)
     batch_data = {
@@ -160,7 +170,7 @@ def main():
     # Round-1 gap: the headline was bench-only while Experiment forced a
     # host sync per step. Target: within ~5% of the raw-step number.
     exp_img_per_s = None
-    if os.environ.get("BENCH_EXPERIMENT", "1") == "1":
+    if os.environ.get("BENCH_EXPERIMENT", "1") == "1" and method == "UCD":
         import dataclasses
         import tempfile
 

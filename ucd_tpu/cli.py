@@ -61,6 +61,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lr_decay_step", type=int, default=5000)
     p.add_argument("--lr_decay_factor", type=float, default=0.1)
     p.add_argument("--random_seed", type=int, default=42)
+    p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--freeze", action="store_true", default=False)
     p.add_argument("--fix_bn", action="store_true", default=False)
 
@@ -148,6 +149,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         weight_decay=args.weight_decay, lr_policy=args.lr_policy,
         lr_power=args.lr_power, lr_decay_step=args.lr_decay_step,
         lr_decay_factor=args.lr_decay_factor, random_seed=args.random_seed,
+        num_workers=args.num_workers,
         fix_bn=args.fix_bn, freeze=args.freeze,
         backbone=args.backbone, output_stride=args.output_stride,
         pretrained=not args.no_pretrained,

@@ -56,6 +56,9 @@ class Config:
     lr_decay_step: int = 5000
     lr_decay_factor: float = 0.1
     random_seed: int = 42
+    num_workers: int = 4           # loader item-thread pool (reference
+                                   # argparser.py:53 torch workers; threads
+                                   # here — native/PIL ops release the GIL)
     fix_bn: bool = False
     freeze: bool = False           # freeze backbone body in incremental steps
 

@@ -123,12 +123,13 @@ class Experiment:
         self.train_loader = DataLoader(self.train_dst, cfg.batch_size,
                                        seed=cfg.random_seed,
                                        process_index=jax.process_index(),
-                                       process_count=jax.process_count())
+                                       process_count=jax.process_count(),
+                                       workers=cfg.num_workers)
         self.val_loader = DataLoader(
             self.val_dst, cfg.batch_size if cfg.crop_val else 1,
             shuffle=False, drop_last=False, seed=cfg.random_seed,
             process_index=jax.process_index(),
-            process_count=jax.process_count())
+            process_count=jax.process_count(), workers=cfg.num_workers)
         self.total_iters = cfg.epochs * max(len(self.train_loader), 1)
 
         self.model = make_model(cfg)
