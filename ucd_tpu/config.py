@@ -99,7 +99,11 @@ class Config:
     # TPU execution
     dtype: str = "bfloat16"        # compute dtype: bfloat16 | float32
     param_dtype: str = "float32"   # master weights
-    bf16_upsample: bool = False    # upsample logits in bf16 (~+3% step speed)
+    # upsample logits in bf16 (~+3% step speed). Default ON: the classifier
+    # already emits bf16 under the compute policy, so an f32 upsample only
+    # upcasts rounding noise at 4x the HBM traffic; losses still reduce in
+    # f32. This matches the configuration all benchmark numbers use.
+    bf16_upsample: bool = True
     bf16_norm: bool = False        # BatchNorm compute in bf16 (stats f32)
     data_axis: int = 0             # mesh axis size 0 = all devices
     remat: bool = False            # rematerialize backbone blocks to save HBM

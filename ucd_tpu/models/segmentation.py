@@ -106,7 +106,10 @@ def make_model(cfg, classes: Sequence[int] | None = None) -> IncrementalSegmenta
     import jax.numpy as _jnp
 
     dtype = {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32}[cfg.dtype]
-    up_dtype = _jnp.bfloat16 if getattr(cfg, "bf16_upsample", False) \
+    # bf16 upsample only applies under the bf16 compute policy: in float32
+    # mode (tests, parity oracles) the whole graph stays f32
+    up_dtype = _jnp.bfloat16 \
+        if getattr(cfg, "bf16_upsample", False) and dtype == _jnp.bfloat16 \
         else _jnp.float32
     from .layers import DEFAULT_NORM_DTYPE
     DEFAULT_NORM_DTYPE[0] = (_jnp.bfloat16 if getattr(cfg, "bf16_norm", False)
