@@ -178,3 +178,29 @@ def test_output_stride_8(rng):
     assert logits.shape == (1, SIZE, SIZE, cfg.tot_classes)
     assert feats["body"].shape[1] == SIZE // 8
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_nan_guard_skips_poisoned_step(rng):
+    """cfg.nan_guard: a batch producing non-finite gradients must leave the
+    params untouched; the next clean batch updates normally."""
+    cfg = tiny_cfg(step=0, method="FT", nan_guard=True)
+    model = make_model(cfg)
+    state, _ = build_train_state(cfg, model, jax.random.key(0),
+                                 total_iters=10,
+                                 input_shape=(1, SIZE, SIZE, 3))
+    step = jax.jit(make_train_step(cfg, model, None, total_iters=10))
+
+    bad = synth_batch(rng, cfg.tot_classes)
+    bad["image"] = bad["image"].at[0, 0, 0, 0].set(jnp.nan)
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    state2, m = step(state, bad, None)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]),
+        np.asarray(p0))
+
+    good = synth_batch(rng, cfg.tot_classes)
+    state3, m = step(state2, good, None)
+    assert np.isfinite(float(m["loss"]))
+    assert not np.array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state3.params)[0]),
+        np.asarray(p0))

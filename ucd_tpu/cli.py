@@ -76,6 +76,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
     p.add_argument("--remat", action="store_true", default=False)
+    p.add_argument("--nan_guard", action="store_true", default=False)
 
     p.add_argument("--bce", action="store_true", default=False)
     p.add_argument("--unce", action="store_true", default=False)
@@ -155,6 +156,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         pretrained=not args.no_pretrained,
         pretrained_path=args.pretrained_path, norm_act=args.norm_act,
         pooling=args.pooling, dtype=args.dtype, remat=args.remat,
+        nan_guard=args.nan_guard,
         bce=args.bce, unce=args.unce, unkd=args.unkd, alpha=args.alpha,
         loss_kd=args.loss_kd, loss_de=args.loss_de,
         contrastive=args.contrastive, temperature=args.temperature,

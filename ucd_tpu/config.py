@@ -107,6 +107,8 @@ class Config:
     bf16_norm: bool = False        # BatchNorm compute in bf16 (stats f32)
     data_axis: int = 0             # mesh axis size 0 = all devices
     remat: bool = False            # rematerialize backbone blocks to save HBM
+    nan_guard: bool = False        # skip updates with non-finite grads
+                                   # (optax.apply_if_finite; NEW vs reference)
     use_pallas_contrastive: bool = True
 
     # eval / logging / ckpt

@@ -61,12 +61,18 @@ def make_lr_schedule(cfg: Config, total_iters: int):
 
 def make_optimizer(cfg: Config, total_iters: int):
     """SGD(momentum=0.9, nesterov) with torch-style coupled weight decay
-    (decay added to grads before momentum; reference run.py:175-186)."""
+    (decay added to grads before momentum; reference run.py:175-186).
+    With cfg.nan_guard, the whole update is wrapped in
+    optax.apply_if_finite: a non-finite gradient skips the step instead of
+    poisoning the params — production hardening the reference lacks."""
     sched = make_lr_schedule(cfg, total_iters)
-    return optax.chain(
+    tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         optax.sgd(learning_rate=sched, momentum=cfg.momentum, nesterov=True),
     )
+    if getattr(cfg, "nan_guard", False):
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def _apply_mask(grads, mask):
