@@ -8,11 +8,13 @@ from .contrastive import (
     pixel_contrastive_loss,
     ucd_contrastive_loss,
 )
+from .contrastive_v1 import pixel_con_loss_v1, sup_con_loss
 from .pallas_contrastive import pixel_contrastive_loss_pallas
 
 __all__ = [
     "losses", "regularizers", "shoot_infs", "sinkhorn_knopp",
     "ContrastiveBatch", "build_contrastive_batch", "compact_batch",
     "downsample_labels", "pixel_contrastive_loss", "ucd_contrastive_loss",
+    "pixel_con_loss_v1", "sup_con_loss",
     "pixel_contrastive_loss_pallas",
 ]
