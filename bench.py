@@ -90,8 +90,12 @@ def main():
     # distillation) for cost attribution against the full UCD step
     method = os.environ.get("BENCH_METHOD", "UCD")
     step = 1 if method == "UCD" else 0
+    # BENCH_DATASET=ade exercises the 151-class configuration (100-50 task):
+    # the 512^2 logit upsample carries 7x the channels of VOC
+    dataset = os.environ.get("BENCH_DATASET", "voc")
+    task = {"voc": "15-5s", "ade": "100-50", "city": "13-6s"}[dataset]
     cfg = config.make_config(
-        dataset="voc", task="15-5s", step=step, method=method,
+        dataset=dataset, task=task, step=step, method=method,
         backbone=backbone, crop_size=size, batch_size=batch,
         dtype="bfloat16",
         contrastive_capacity=int(os.environ.get("BENCH_CON_CAP", "0")),
@@ -99,7 +103,7 @@ def main():
         bf16_upsample=os.environ.get("BENCH_BF16_UP", "1") == "1",
         bf16_norm=os.environ.get("BENCH_BF16_NORM", "0") == "1",
     )
-    cfg0 = config.make_config(dataset="voc", task="15-5s", step=0,
+    cfg0 = config.make_config(dataset=dataset, task=task, step=0,
                               backbone=backbone, crop_size=size,
                               dtype="bfloat16")
 

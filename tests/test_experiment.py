@@ -78,13 +78,21 @@ def test_missing_step_ckpt_raises(tmp_path, bases):
 
 def test_get_datasets_split(bases):
     base_train, base_val = bases
-    cfg = make_cfg.__wrapped__ if hasattr(make_cfg, "__wrapped__") else None
+    # default: val comes from the val image set (reference argparser.py:41
+    # no_cross_val inversion — the 80/20 split only under --cross_val)
     cfg = config.make_config(dataset="voc", task="19-1", step=0,
                              crop_size=SIZE, cross_val=False)
     tr, va, te, n_cum = get_datasets(cfg, base_train=base_train,
                                      base_val=base_val)
-    assert len(tr) + len(va) == 24 or len(tr) + len(va) <= 24
+    assert len(tr) <= 24 and len(va) <= 8
     assert n_cum == 21
+
+    cfg_cv = config.make_config(dataset="voc", task="19-1", step=0,
+                                crop_size=SIZE, cross_val=True)
+    tr2, va2, te2, _ = get_datasets(cfg_cv, base_train=base_train,
+                                    base_val=base_val)
+    # 80/20 split of the filtered train set
+    assert len(tr2) + len(va2) <= 24 and len(va2) >= 1
 
 
 def test_cli_config_roundtrip():

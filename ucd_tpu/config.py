@@ -39,7 +39,10 @@ class Config:
     overlap: bool = False
     masking: bool = True           # reference: not --no_mask
     data_root: str = "data"
-    cross_val: bool = False        # 80/20 split of train when False? (ref: cross_val flag)
+    cross_val: bool = False        # True: val = 80/20 random split of train;
+                                   # False (default): val = the disk val split
+                                   # (reference argparser.py:41 no_cross_val
+                                   # inversion + run.py:98-106)
 
     # method
     method: Optional[str] = None

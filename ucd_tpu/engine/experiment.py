@@ -43,8 +43,10 @@ from .train import make_eval_step, make_train_step
 
 def get_datasets(cfg: Config, base_train=None, base_val=None):
     """Train/val/test datasets (reference run.py:46-113): train on the new
-    classes (masked), val = 80/20 split of train unless cross_val, test on
-    all seen classes."""
+    classes (masked); val = the disk val split by default, or an 80/20
+    random split of train when --cross_val (reference argparser.py:41
+    inverts the flag into no_cross_val; run.py:98-106); test on all seen
+    classes."""
     labels, labels_old, path_base = task_registry.get_task_labels(
         cfg.dataset, cfg.task, cfg.step)
     labels_cum = labels_old + labels
@@ -61,7 +63,7 @@ def get_datasets(cfg: Config, base_train=None, base_val=None):
         idxs_path=(f"{idx_dir}/train-{cfg.step}.npy" if idx_dir else None),
         masking=cfg.masking, overlap=cfg.overlap, base=base_train)
 
-    if not cfg.cross_val:
+    if cfg.cross_val:
         train_dst, val_dst = split_train_val(train_dst, 0.2, cfg.random_seed)
     else:
         val_dst = make_incremental_dataset(
@@ -69,7 +71,8 @@ def get_datasets(cfg: Config, base_train=None, base_val=None):
             transform=val_transform(cfg.crop_size if cfg.crop_val else None),
             labels=labels, labels_old=labels_old,
             idxs_path=(f"{idx_dir}/val-{cfg.step}.npy" if idx_dir else None),
-            masking=cfg.masking, overlap=True, base=base_val)
+            masking=cfg.masking, overlap=True,
+            base=base_val if base_val is not None else base_train)
 
     # --val_on_trainset: test on the TRAIN split (reference run.py:108-109,
     # idx cache switches to test_on_train-{step}.npy)
