@@ -64,3 +64,46 @@ def test_graft_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_2d_mesh_matches_single_device(rng):
+    """data x model (4x2) mesh: batch sharded over data, wide conv channels
+    sharded over model (TP analog) — numerically equal to single-device.
+    The reference is DP-only (SURVEY §2.4); the model axis is extra
+    capability for wide-channel regimes (ADE 151-class head)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ucd_tpu.parallel import DATA_AXIS, channel_sharding, make_mesh_2d
+
+    cfg = config.make_config(dataset="voc", task="19-1", step=0, method="FT",
+                             backbone="resnet50", crop_size=SIZE,
+                             batch_size=B, dtype="float32")
+    model = make_model(cfg)
+    state, _ = build_train_state(cfg, model, jax.random.key(0), total_iters=8,
+                                 input_shape=(1, SIZE, SIZE, 3))
+    batch = {
+        "image": rng.randn(B, SIZE, SIZE, 3).astype(np.float32),
+        "label": rng.randint(0, cfg.tot_classes,
+                             size=(B, SIZE, SIZE)).astype(np.int32),
+    }
+    step_fn = jax.jit(make_train_step(cfg, model, None, total_iters=8))
+    s1, m1 = step_fn(state, jax.tree_util.tree_map(jnp.asarray, batch))
+
+    mesh = make_mesh_2d(4, 2)
+    state2 = jax.tree_util.tree_map(jax.device_put, state,
+                                    channel_sharding(mesh, state,
+                                                     min_size=64))
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    batch2 = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+    step2 = jax.jit(make_train_step(cfg, model, None, total_iters=8))
+    s2, m2 = step2(state2, batch2)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1.params["cls_0"]["kernel"]),
+                               np.asarray(s2.params["cls_0"]["kernel"]),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.batch_stats["body"]["mod3_block1"]["bn1"]["bn"]["mean"]),
+        np.asarray(s2.batch_stats["body"]["mod3_block1"]["bn1"]["bn"]["mean"]),
+        rtol=1e-4, atol=1e-6)

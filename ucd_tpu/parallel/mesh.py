@@ -47,6 +47,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+MODEL_AXIS = "model"
+
+
+def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
+    """2-D (data x model) mesh. The reference implements only DP (SURVEY
+    §2.4), and for this CNN DP is the right primary strategy — but a model
+    axis composes on top for the wide-channel regimes (ADE's 151-class
+    head, the 2048-channel ResNet trunk) to spread activation memory and
+    the classifier/upsample bandwidth over ICI."""
+    devices = jax.devices()[: n_data * n_model]
+    assert len(devices) == n_data * n_model, (
+        f"need {n_data * n_model} devices, have {len(jax.devices())}")
+    return Mesh(np.array(devices).reshape(n_data, n_model),
+                (DATA_AXIS, MODEL_AXIS))
+
+
+def channel_sharding(mesh: Mesh, tree, min_size: int = 256):
+    """Per-leaf sharding tree: the trailing (output-channel) dim of large
+    params is sharded over the model axis — the tensor-parallel analog for
+    conv nets (conv kernels HWIO -> O sharded; the matching BN scale/bias/
+    stats shard the same axis, so GSPMD propagates without resharding).
+    Leaves that are too small or indivisible stay replicated. Works on any
+    params-shaped tree (opt_state momentum shards consistently by shape)."""
+    if MODEL_AXIS not in mesh.axis_names:
+        return jax.tree_util.tree_map(
+            lambda x: NamedSharding(mesh, P()), tree)
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def leaf(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 1 and shape[-1] >= min_size \
+                and shape[-1] % n_model == 0:
+            return NamedSharding(
+                mesh, P(*((None,) * (len(shape) - 1)), MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place host arrays onto the mesh, batch axis sharded."""
     sh = batch_sharding(mesh)
