@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from . import tasks as task_registry
@@ -101,7 +101,10 @@ class Config:
 
     # TPU execution
     dtype: str = "bfloat16"        # compute dtype: bfloat16 | float32
-    param_dtype: str = "float32"   # master weights
+    param_dtype: str = "float32"   # master weights — informational; fp32 is
+                                   # the only supported master dtype (bf16
+                                   # masters lose SGD-momentum precision for
+                                   # zero HBM win at this model size)
     # upsample logits in bf16 (~+3% step speed). Default ON: the classifier
     # already emits bf16 under the compute policy, so an f32 upsample only
     # upcasts rounding noise at 4x the HBM traffic; losses still reduce in
