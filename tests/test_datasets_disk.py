@@ -102,3 +102,30 @@ def test_city_disk_reader_collapse(tmp_path, rng):
     _, lbl = ds[0]
     # 34 raw ids collapsed into the 20-way train space
     assert lbl.max() <= 19
+
+
+def test_cli_train_on_disk_voc(tmp_path, rng, monkeypatch, capsys):
+    """The complete user journey with NO synthetic injection: real VOC file
+    tree -> cli train (reference run.py flow) -> idx caches under
+    data/voc/<task>/ -> checkpoint + JSON result."""
+    import json
+
+    from ucd_tpu.cli import main
+
+    root = str(tmp_path / "voc")
+    make_voc_tree(root, rng, n=8)
+    monkeypatch.chdir(tmp_path)  # idx caches land in ./data/voc/19-1
+    rc = main([
+        "train", "--dataset", "voc", "--task", "19-1", "--step", "0",
+        "--method", "FT", "--data_root", root, "--backbone", "resnet50",
+        "--crop_size", str(SIZE), "--batch_size", "2", "--epochs", "1",
+        "--dtype", "float32", "--no_pretrained", "--no_pallas",
+        "--logdir", str(tmp_path / "logs"),
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    res = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert res and res[-1]["step"] == 0
+    assert os.path.exists(str(tmp_path / "data" / "voc" / "19-1"))
+    assert os.path.exists(str(tmp_path / "ckpt" / "19-1-voc_Experiment_0"))
