@@ -1,0 +1,219 @@
+"""END-TO-END forward parity: the complete ResNet-101(os16) + DeepLab-v3
+ASPP + multi-step classifier forward vs a torch oracle built purely from the
+reference's math (segmentation_module.py:125-136), with the BODY weights
+shared through the pretrained converter round-trip
+(`models.pretrained.convert_torch_body`) and head/classifier weights copied
+from the flax tree.
+
+This is the test that certifies pretrained-weight fidelity end to end
+(VERDICT.md round-2 item 4; SURVEY.md §7 hard part d): a converter bug, a
+layout mistake, or an architecture drift anywhere in the stack shows up as
+a mismatch here.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from ucd_tpu.models.pretrained import convert_torch_body
+from ucd_tpu.models.segmentation import (IncrementalSegmentationModel,
+                                         merge_old_params)
+from test_pretrained import fake_torch_sd
+
+pytestmark = pytest.mark.slow
+
+
+def to_nchw(x):
+    return np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+
+def to_nhwc(x):
+    return np.transpose(np.asarray(x), (0, 2, 3, 1))
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def _bn(x, params, stats, eps=1e-5):
+    return F.batch_norm(x, _t(stats["mean"]), _t(stats["var"]),
+                        _t(params["scale"]), _t(params["bias"]),
+                        training=False, eps=eps)
+
+
+def _abn(x, p, s, act=True):
+    x = _bn(x, p["bn"], s["bn"])
+    return F.leaky_relu(x, 0.01) if act else x
+
+
+def _cv(x, kernel_hwio, stride=1, dilation=1, bias=None):
+    w = _t(np.transpose(np.asarray(kernel_hwio), (3, 2, 0, 1)))
+    k = w.shape[-1]
+    pad = dilation * (k - 1) // 2
+    return F.conv2d(x, w, bias=None if bias is None else _t(bias),
+                    stride=stride, padding=pad, dilation=dilation)
+
+
+def torch_bottleneck(x, p, s, stride, dilation):
+    """Reference ResidualBlock (modules/residual.py:63-97): identity-act
+    final norms, projection shortcut when shapes change, post-add lrelu."""
+    if "proj_conv" in p:
+        res = _abn(_cv(x, p["proj_conv"]["kernel"], stride=stride),
+                   p["proj_bn"], s["proj_bn"], act=False)
+    else:
+        res = x
+    y = _abn(_cv(x, p["conv1"]["kernel"]), p["bn1"], s["bn1"])
+    y = _abn(_cv(y, p["conv2"]["kernel"], stride=stride, dilation=dilation),
+             p["bn2"], s["bn2"])
+    y = _abn(_cv(y, p["conv3"]["kernel"]), p["bn3"], s["bn3"], act=False)
+    return F.leaky_relu(y + res, 0.01)
+
+
+def torch_resnet_body(x, p, s, structure, output_stride=16):
+    """Reference ResNet (models/resnet.py:48-104) from the math."""
+    dilation = [1, 1, 1, 2] if output_stride == 16 else [1, 1, 2, 4]
+    y = _cv(x, p["mod1_conv1"]["kernel"], stride=2)
+    y = _abn(y, p["mod1_bn1"], s["mod1_bn1"])
+    if dilation[0] == 1:
+        y = F.max_pool2d(y, 3, stride=2, padding=1)
+    for mod_id, num in enumerate(structure):
+        d = dilation[mod_id]
+        for block_id in range(num):
+            stride = 2 if d == 1 and block_id == 0 and mod_id > 0 else 1
+            name = f"mod{mod_id + 2}_block{block_id + 1}"
+            y = torch_bottleneck(y, p[name], s[name], stride, d)
+    return y
+
+
+def torch_deeplab_head(x, p, s, pooling_size, train=False):
+    """Reference DeeplabV3 ASPP (modules/deeplab.py:54-89), eval path."""
+    branches = [
+        _cv(x, p["map_conv0"]["kernel"]),
+        _cv(x, p["map_conv1"]["kernel"], dilation=6),
+        _cv(x, p["map_conv2"]["kernel"], dilation=12),
+        _cv(x, p["map_conv3"]["kernel"], dilation=18),
+    ]
+    out = torch.cat(branches, dim=1)
+    out = _abn(out, p["map_bn"], s["map_bn"])
+    out = _cv(out, p["red_conv"]["kernel"])
+
+    h, w = x.shape[2], x.shape[3]
+    ph, pw = min(pooling_size, h), min(pooling_size, w)
+    pool = F.avg_pool2d(x, (ph, pw), stride=1)
+    pl = (pw - 1) // 2
+    pr = pl if pw % 2 == 1 else pl + 1
+    pt = (ph - 1) // 2
+    pb = pt if ph % 2 == 1 else pt + 1
+    pool = F.pad(pool, (pl, pr, pt, pb), mode="replicate")
+    pool = _cv(pool, p["global_pooling_conv"]["kernel"])
+    pool = _abn(pool, p["global_pooling_bn"], s["global_pooling_bn"])
+    pool = _cv(pool, p["pool_red_conv"]["kernel"])
+
+    out = out + pool
+    return _abn(out, p["red_bn"], s["red_bn"])
+
+
+def torch_att_map(x):
+    """Reference spatial attention (segmentation_module.py:86-94)."""
+    a = (x ** 2).sum(dim=1)
+    norm = torch.sqrt((a ** 2).sum(dim=(1, 2), keepdim=True))
+    a = a / torch.clamp(norm, min=1e-12)
+    return a.unsqueeze(1) * x
+
+
+def torch_full_forward(x, p, s, structure, classes, pooling_size):
+    """Complete reference forward (segmentation_module.py:125-136):
+    body -> head -> concat per-step 1x1 classifiers -> att maps ->
+    bilinear upsample(align_corners=False)."""
+    x_b = torch_resnet_body(x, p["body"], s["body"], structure)
+    x_pl = torch_deeplab_head(x_b, p["head"], s["head"], pooling_size)
+    outs = [
+        _cv(x_pl, p[f"cls_{i}"]["kernel"], bias=p[f"cls_{i}"]["bias"])
+        for i in range(len(classes))
+    ]
+    sem = torch.cat(outs, dim=1)
+    x_b_att = torch_att_map(x_b)
+    x_pl_att = torch_att_map(x_pl)
+    logits = F.interpolate(sem, size=(x.shape[2], x.shape[3]),
+                           mode="bilinear", align_corners=False)
+    return logits, x_b_att, x_pl_att, sem
+
+
+def _randomize_bn(tree_p, tree_s, rng):
+    """Non-trivial BN affine/statistics everywhere (fresh init is scale-free
+    and would hide mean/var layout bugs)."""
+    if isinstance(tree_p, dict) and "bn" in tree_p and "scale" in tree_p["bn"]:
+        c = tree_p["bn"]["scale"].shape[0]
+        tree_p["bn"]["scale"] = jnp.array(
+            np.abs(rng.randn(c)).astype(np.float32) * 0.3 + 0.8)
+        tree_p["bn"]["bias"] = jnp.array(
+            rng.randn(c).astype(np.float32) * 0.1)
+        tree_s["bn"]["mean"] = jnp.array(
+            rng.randn(c).astype(np.float32) * 0.1)
+        tree_s["bn"]["var"] = jnp.array(
+            np.abs(rng.randn(c)).astype(np.float32) * 0.3 + 0.7)
+        return
+    if isinstance(tree_p, dict):
+        for k in tree_p:
+            if isinstance(tree_p[k], dict):
+                _randomize_bn(tree_p[k], tree_s.get(k, {}) if
+                              isinstance(tree_s, dict) else {}, rng)
+
+
+def _he_rescale(tree):
+    """Scale the fake release's unit-normal conv kernels to He magnitude so
+    activations stay finite through 33 bottlenecks (both the flax model and
+    the torch oracle read the SAME rescaled tree — parity is unaffected)."""
+    for k, v in tree.items():
+        if k == "kernel":
+            fan_in = float(np.prod(v.shape[:3]))
+            tree[k] = jnp.array(np.asarray(v) * np.sqrt(2.0 / fan_in))
+        elif isinstance(v, dict):
+            _he_rescale(v)
+
+
+def test_full_model_forward_parity_resnet101(rng):
+    """ResNet-101 + ASPP + two incremental classifier heads @64²:
+    flax forward == torch oracle with converter-shared body weights."""
+    structure = (3, 4, 23, 3)
+    classes = (16, 5)  # VOC 15-5s step-1 head layout
+
+    # torch-layout release -> converter -> flax body weights
+    sd = fake_torch_sd(rng, structure=structure)
+    converted = convert_torch_body(sd)
+
+    model = IncrementalSegmentationModel(
+        classes=classes, backbone="resnet101", output_stride=16,
+        pooling_size=4, dtype=jnp.float32)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32) * 0.5
+    variables = model.init(jax.random.key(0), jnp.array(x), train=False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    # body from the converted release (the production load path)
+    params["body"] = merge_old_params(params["body"], converted["params"])
+    stats["body"] = merge_old_params(stats["body"],
+                                     converted["batch_stats"])
+    _he_rescale(params["body"])
+    # head BN affine/stats randomized so layout bugs cannot hide
+    _randomize_bn(params["head"], stats["head"], rng)
+
+    logits, feats = model.apply({"params": params, "batch_stats": stats},
+                                jnp.array(x), train=False)
+
+    ref_logits, ref_batt, ref_platt, ref_sem = torch_full_forward(
+        torch.from_numpy(to_nchw(x)), params, stats, structure, classes,
+        pooling_size=4)
+
+    np.testing.assert_allclose(np.asarray(logits), to_nhwc(ref_logits),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats["sem"]), to_nhwc(ref_sem),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats["body"]), to_nhwc(ref_batt),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats["pre_logits"]),
+                               to_nhwc(ref_platt), rtol=1e-3, atol=1e-4)

@@ -157,6 +157,48 @@ def test_experiment_loads_pretrained_body(tmp_path, rng):
         converted["batch_stats"]["mod2_block1"]["bn1"]["bn"]["mean"])
 
 
+def test_offline_converter_cli_and_torchfree_load(tmp_path, rng,
+                                                  monkeypatch):
+    """`python -m ucd_tpu.models.pretrained convert` produces an .npz the
+    training process loads WITHOUT torch (VERDICT round-2 item 6): torch
+    becomes an offline dev dependency only."""
+    import sys
+
+    from ucd_tpu.models import pretrained as P
+
+    ppath = str(tmp_path / "resnet50_iabn_sync.pth.tar")
+    _save_fake_release(ppath, rng)
+    ref = P.load_pretrained_torch(ppath)
+
+    # offline conversion CLI (default dst = sibling .npz)
+    assert P._cli(["convert", ppath]) == 0
+    npz = str(tmp_path / "resnet50_iabn_sync.npz")
+    import os
+    assert os.path.exists(npz)
+
+    # torch import is blocked from here on: the load path must not need it
+    monkeypatch.setitem(sys.modules, "torch", None)
+
+    got = P.load_body_npz(npz)
+    np.testing.assert_array_equal(
+        got["params"]["mod1_conv1"]["kernel"],
+        ref["params"]["mod1_conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        got["batch_stats"]["mod3_block1"]["proj_bn"]["bn"]["var"],
+        ref["batch_stats"]["mod3_block1"]["proj_bn"]["bn"]["var"])
+
+    # load_pretrained_body prefers the converted sibling .npz even when
+    # handed the .pth.tar path (production hosts skip torch entirely)
+    got2 = P.load_pretrained_body(ppath)
+    np.testing.assert_array_equal(
+        got2["params"]["mod4_block1"]["conv2"]["kernel"],
+        ref["params"]["mod4_block1"]["conv2"]["kernel"])
+
+    # and an explicit .npz path works too
+    got3 = P.load_pretrained_body(npz)
+    assert got3["params"].keys() == ref["params"].keys()
+
+
 def test_experiment_missing_pretrained_raises(tmp_path):
     """pretrained=True + absent release file is a hard, actionable error
     (the reference's intended behavior: torch.load would raise)."""

@@ -108,6 +108,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     # reference spelling: passing --visualize DISABLES TB summaries
     # (store_false, default True — argparser.py:116)
     p.add_argument("--visualize", action="store_false", default=True)
+    p.add_argument("--wandb", action="store_true", default=False,
+                   help="mirror scalar logs to wandb (reference run.py:25-30)")
     p.add_argument("--num_classes", type=int, default=None,
                    help="override the dataset's class count "
                         "(reference argparser.py:61)")
@@ -137,6 +139,19 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="use N random synthetic images instead of real data "
                         "(smoke-testing without datasets)")
+    p.add_argument("--synthetic_learnable", type=int, default=0, metavar="N",
+                   help="use N LEARNABLE color-coded synthetic images "
+                        "(class->color + noise): exercises real retention/"
+                        "forgetting dynamics across incremental steps "
+                        "without the datasets")
+    # multi-process launch (reference torch.distributed.launch + NCCL init,
+    # run.py:117-124): one process per host, rendezvous at --coordinator
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (process 0)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--distributed", action="store_true", default=False,
+                   help="auto-detect the multi-host topology (TPU pods)")
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
@@ -170,7 +185,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         reg_iterations=args.reg_iterations,
         crop_val=args.crop_val, val_on_trainset=args.val_on_trainset,
         val_interval=args.val_interval, ckpt_interval=args.ckpt_interval,
-        visualize=args.visualize, num_classes_override=args.num_classes,
+        visualize=args.visualize, wandb=args.wandb,
+        num_classes_override=args.num_classes,
         fusion_mode=args.fusion_mode,
         test_scales=tuple(float(s) for s in args.test_scales.split(",")),
         test_flip=args.test_flip,
@@ -183,8 +199,20 @@ def config_from_args(args: argparse.Namespace) -> Config:
     return apply_method(cfg).validate()
 
 
-def _make_bases(cfg: Config, n: int):
-    """Synthetic train/val bases for dataset-free smoke runs."""
+def _make_bases(cfg: Config, n: int, learnable: int = 0):
+    """Synthetic train/val bases for dataset-free smoke runs. `learnable`
+    uses the color-coded task (class->color + noise) whose labels are
+    predictable from pixels, so incremental retention/forgetting dynamics
+    are real; the color mapping is shared across steps/splits."""
+    if learnable > 0:
+        from .data import LearnableSynthetic
+        n_cls = cfg.num_classes  # full label space; remap handles future->bkg
+        return (LearnableSynthetic(n=learnable, size=cfg.crop_size,
+                                   n_classes=n_cls,
+                                   seed=cfg.random_seed + cfg.step),
+                LearnableSynthetic(n=max(learnable // 4, 4),
+                                   size=cfg.crop_size, n_classes=n_cls,
+                                   seed=cfg.random_seed + 1000))
     if n <= 0:
         return None, None
     from .data import SyntheticSegmentation
@@ -199,11 +227,11 @@ def _make_bases(cfg: Config, n: int):
 
 
 def _run_one_step(cfg: Config, profile_dir=None, synthetic: int = 0,
-                  tta: bool = False):
+                  tta: bool = False, learnable: int = 0):
     from .engine.experiment import Experiment
     from .utils.reporting import write_step_csv
 
-    base_train, base_val = _make_bases(cfg, synthetic)
+    base_train, base_val = _make_bases(cfg, synthetic, learnable)
     exp = Experiment(cfg, base_train=base_train, base_val=base_val)
     exp.run(profile_dir=profile_dir)
     score = exp.predict_test() if tta else exp.final_test()
@@ -219,11 +247,17 @@ def _run_one_step(cfg: Config, profile_dir=None, synthetic: int = 0,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # must run before the first jax backend use
+    from .parallel.distributed import maybe_initialize
+    maybe_initialize(coordinator=args.coordinator,
+                     num_processes=args.num_processes,
+                     process_id=args.process_id,
+                     auto=args.distributed)
     cfg = config_from_args(args)
 
     if args.command == "train":
         _run_one_step(cfg, args.profile_dir, synthetic=args.synthetic,
-                      tta=args.tta)
+                      tta=args.tta, learnable=args.synthetic_learnable)
     elif args.command == "test":
         # reference test.py:189-193: --step_ckpt names the checkpoint UNDER
         # EVALUATION (unlike run.py where it is the previous step's); map it
@@ -233,7 +267,8 @@ def main(argv=None):
             updates["ckpt"] = cfg.step_ckpt
             updates["step_ckpt"] = None
         cfg = dataclasses.replace(cfg, **updates)
-        _run_one_step(cfg, synthetic=args.synthetic, tta=args.tta)
+        _run_one_step(cfg, synthetic=args.synthetic, tta=args.tta,
+                      learnable=args.synthetic_learnable)
     elif args.command == "run-task":
         # all steps of the task in one process (improvement over the
         # reference's one-launch-per-step, SURVEY.md §7 item 8)
@@ -241,7 +276,8 @@ def main(argv=None):
         for step in range(cfg.step, n_steps):
             step_cfg = dataclasses.replace(cfg, step=step)
             step_cfg = step_cfg.validate()
-            _run_one_step(step_cfg, synthetic=args.synthetic)
+            _run_one_step(step_cfg, synthetic=args.synthetic,
+                          learnable=args.synthetic_learnable)
         # final multi-step report (reference average_csv.py output)
         from .utils.reporting import aggregate_csv, format_report
         csv_path = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}/results.csv"

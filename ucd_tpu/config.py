@@ -119,10 +119,20 @@ class Config:
 
     # eval / logging / ckpt
     crop_val: bool = True
+    eval_bucket_multiple: int = 128  # crop_val=False: pad full-size val
+                                   # images up to (ceil(H/m)*m, ceil(W/m)*m)
+                                   # static buckets so XLA compiles a handful
+                                   # of programs instead of one per image
+                                   # shape (the reference evals native sizes
+                                   # at batch 1, run.py:57-73 — fine on GPU,
+                                   # a compile storm on TPU). 0 = exact
+                                   # native shapes (recompiles per shape).
     val_on_trainset: bool = False  # test on the train split (argparser.py:100)
     val_interval: int = 1
     ckpt_interval: int = 1         # save every N validated epochs (argparser.py:122)
     visualize: bool = True         # TB summaries + sample images (argparser.py:116)
+    wandb: bool = False            # mirror scalars to wandb (reference
+                                   # run.py:25-30; also honors UCD_TPU_WANDB=1)
     num_classes_override: Optional[int] = None  # argparser.py:61
     fusion_mode: str = "mean"      # TTA fusion: mean|voting|max (argparser.py:134)
     test_scales: tuple = (1.0,)    # TTA view pyramid for the predict path
@@ -191,6 +201,13 @@ class Config:
         assert self.ckpt_interval >= 1
         assert self.method is None or self.method in METHODS
         assert self.regularizer in (None, "ewc", "pi", "rw")
+        if self.contrastive and self.contrastive_bug_compatible \
+                and self.use_pallas_contrastive:
+            raise ValueError(
+                "contrastive_bug_compatible requires the dense path: pass "
+                "use_pallas_contrastive=False (--no_pallas). The tiled "
+                "kernel cannot reproduce the reference's unstabilized "
+                "negative sum.")
         task_dict = task_registry.get_task_dict(self.dataset, self.task)
         assert self.step in task_dict, (
             f"step {self.step} out of range for task {self.task} "

@@ -3,6 +3,7 @@ from .datasets import (
     AdeSegmentation,
     CitySegmentation,
     CityscapesSegmentationDomain,
+    LearnableSynthetic,
     SyntheticSegmentation,
     VOCSegmentation,
     make_incremental_dataset,
@@ -20,7 +21,8 @@ from .native import has_native, normalize_image, pil_resize_pair, remap_labels
 
 __all__ = [
     "transforms", "AdeSegmentation", "CitySegmentation",
-    "CityscapesSegmentationDomain", "SyntheticSegmentation", "VOCSegmentation",
+    "CityscapesSegmentationDomain", "LearnableSynthetic",
+    "SyntheticSegmentation", "VOCSegmentation",
     "make_incremental_dataset", "Subset", "ade_remap_lut", "build_remap_lut",
     "city_remap_lut", "filter_images", "voc_remap_lut", "DataLoader",
     "split_train_val", "has_native", "normalize_image", "pil_resize_pair",

@@ -36,6 +36,21 @@ class DataLoader:
         # release the GIL, so threads scale on multi-core TPU hosts
         # (torch DataLoader num_workers equivalent, process-free)
         self.workers = workers
+        # one pool for the loader's lifetime: a per-epoch pool released with
+        # shutdown(wait=False) leaks worker threads when a consumer abandons
+        # the prefetch generator mid-epoch (ADVICE.md round 2)
+        self._pool = None
+
+    def _get_pool(self):
+        if self.workers > 1 and self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(self.workers)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.process_count
@@ -86,28 +101,20 @@ class DataLoader:
                 return self.dataset.get(int(i), item_rng)
             return self.dataset[int(i)]
 
-        pool = None
-        if self.workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(self.workers)
-        try:
-            n_batches = len(self)
-            for b in range(n_batches):
-                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                if len(idxs) == 0:
-                    break
-                if pool is not None:
-                    pairs = list(pool.map(load_item, [int(i) for i in idxs]))
-                else:
-                    pairs = [load_item(int(i)) for i in idxs]
-                yield {
-                    "image": np.stack([p[0] for p in pairs]).astype(
-                        np.float32),
-                    "label": np.stack([p[1] for p in pairs]).astype(np.int32),
-                }
-        finally:
+        pool = self._get_pool()
+        n_batches = len(self)
+        for b in range(n_batches):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if len(idxs) == 0:
+                break
             if pool is not None:
-                pool.shutdown(wait=False)
+                pairs = list(pool.map(load_item, [int(i) for i in idxs]))
+            else:
+                pairs = [load_item(int(i)) for i in idxs]
+            yield {
+                "image": np.stack([p[0] for p in pairs]).astype(np.float32),
+                "label": np.stack([p[1] for p in pairs]).astype(np.int32),
+            }
 
 
 def split_train_val(dataset, val_frac: float = 0.2, seed: int = 42):

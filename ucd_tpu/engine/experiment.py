@@ -32,7 +32,9 @@ from ..data import DataLoader, make_incremental_dataset, split_train_val
 from ..data.transforms import train_transform, val_transform
 from ..models import make_model
 from ..ops import regularizers as R
-from ..parallel import batch_sharding, make_mesh_for_batch, replicated
+from ..parallel import batch_sharding, make_mesh, make_mesh_for_batch, \
+    replicated
+from ..parallel.distributed import local_batch_size
 from ..utils.viz import compose_sample_png
 from . import checkpoint as ckpt_lib
 from .logger import Logger
@@ -90,6 +92,28 @@ def get_datasets(cfg: Config, base_train=None, base_val=None):
     return train_dst, val_dst, test_dst, len(labels_cum) + 1
 
 
+def pad_to_bucket(batch: dict, multiple: int) -> dict:
+    """Pad images (zeros) / labels (ignore=255) up to the next spatial
+    bucket — H, W each rounded up to a multiple of `multiple`. Full-size
+    eval then compiles one XLA program per bucket instead of one per unique
+    image shape (VERDICT round-2 item 3; reference run.py:57-73 evals
+    native shapes at batch 1). Padded label pixels are 255 and therefore
+    excluded from the confusion matrix and every loss numerator; model
+    outputs near the padded border can shift within the conv/ASPP-pooling
+    receptive field (documented trade-off vs a per-shape compile storm)."""
+    h, w = batch["label"].shape[1:3]
+    hb = -(-h // multiple) * multiple
+    wb = -(-w // multiple) * multiple
+    if (hb, wb) == (h, w):
+        return batch
+    return {
+        "image": np.pad(batch["image"],
+                        ((0, 0), (0, hb - h), (0, wb - w), (0, 0))),
+        "label": np.pad(batch["label"], ((0, 0), (0, hb - h), (0, wb - w)),
+                        constant_values=255),
+    }
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache: repeat runs of the same step skip the
     (minutes-long on big programs) compile. Opt out with UCD_TPU_NO_CACHE=1."""
@@ -111,25 +135,37 @@ class Experiment:
         cfg.validate()
         _enable_compile_cache()
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh_for_batch(
-            cfg.batch_size)
+        # multi-process (multi-host) runs span every process's devices; the
+        # per-batch device-count trim only applies single-process, where the
+        # mesh is free to shrink (reference run.py:117-124 NCCL world)
+        if mesh is not None:
+            self.mesh = mesh
+        elif jax.process_count() > 1:
+            self.mesh = make_mesh()
+        else:
+            self.mesh = make_mesh_for_batch(cfg.batch_size)
         self.rep = replicated(self.mesh)
         self.data_sh = batch_sharding(self.mesh)
+        # per-process share of the global batch (the reference's per-GPU
+        # batch, README.md:52): each process loads its own shard and the
+        # global array is assembled in _put_batch
+        self.local_batch = local_batch_size(cfg.batch_size)
 
         logdir = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}"
         self.logger = logger or Logger(logdir, rank=jax.process_index(),
                                        debug=cfg.debug, step=cfg.step,
-                                       summary=cfg.visualize)
+                                       summary=cfg.visualize,
+                                       use_wandb=getattr(cfg, "wandb", False))
 
         self.train_dst, self.val_dst, self.test_dst, _ = get_datasets(
             cfg, base_train, base_val)
-        self.train_loader = DataLoader(self.train_dst, cfg.batch_size,
+        self.train_loader = DataLoader(self.train_dst, self.local_batch,
                                        seed=cfg.random_seed,
                                        process_index=jax.process_index(),
                                        process_count=jax.process_count(),
                                        workers=cfg.num_workers)
         self.val_loader = DataLoader(
-            self.val_dst, cfg.batch_size if cfg.crop_val else 1,
+            self.val_dst, self.local_batch if cfg.crop_val else 1,
             shuffle=False, drop_last=False, seed=cfg.random_seed,
             process_index=jax.process_index(),
             process_count=jax.process_count(), workers=cfg.num_workers)
@@ -154,13 +190,25 @@ class Experiment:
                 else:
                     raise FileNotFoundError(path)
 
+        # same-step resume path resolved BEFORE the pretrained load: an
+        # unattended preemption restart must not fail on a host lacking
+        # pretrained/ when a valid checkpoint will overwrite the params
+        # anyway (ADVICE.md round 2)
+        resume_path = cfg.ckpt
+        if resume_path is None and cfg.auto_resume \
+                and os.path.exists(cfg.ckpt_path()):
+            resume_path = cfg.ckpt_path()
+            self.logger.info(f"[!] auto-resume from {resume_path}")
+
         # ImageNet-pretrained backbone (reference segmentation_module.py:25-43,
         # run.py:161-167): mandatory for accuracy parity. Only needed when no
         # previous-step checkpoint supplies the body (a cross-step restore
         # overwrites every pretrained leaf), and never for eval-only runs
-        # (the body comes from --ckpt / --step_ckpt there).
+        # (the body comes from --ckpt / --step_ckpt there) or same-step
+        # resumes (the checkpoint restore overwrites every leaf).
         pretrained_body = None
-        if cfg.pretrained and prev_model_state is None and not cfg.test_only:
+        if cfg.pretrained and prev_model_state is None and not cfg.test_only \
+                and not (resume_path and os.path.exists(resume_path)):
             from ..models.pretrained import load_pretrained_body
             ppath = cfg.resolve_pretrained_path()
             pretrained_body = load_pretrained_body(ppath)
@@ -205,22 +253,24 @@ class Experiment:
         # same-step resume (reference run.py:249-260): model, optimizer
         # (momentum + schedule position), epoch/best, and the regularizer's
         # in-flight accumulators — a resumed run is bit-identical to an
-        # uninterrupted one (tested in test_experiment.py)
-        resume_path = cfg.ckpt
-        if resume_path is None and cfg.auto_resume \
-                and os.path.exists(cfg.ckpt_path()):
-            # unattended restart after a preemption/crash: pick up this
-            # step's own checkpoint without an explicit --ckpt
-            resume_path = cfg.ckpt_path()
-            self.logger.info(f"[!] auto-resume from {resume_path}")
+        # uninterrupted one (tested in test_experiment.py). resume_path was
+        # resolved above, before the pretrained load.
         if resume_path is not None:
             ck = ckpt_lib.load_checkpoint(resume_path)
             if ck is not None:
                 ckpt_lib.check_schema(ck, resume_path)
-                opt_state = ckpt_lib.restore_like(self.state.opt_state,
-                                                  ck["optimizer_state"])
-                reg_state = R.restore_full(self.state.reg_state,
-                                           ckpt_lib.load_reg_full(ck))
+                if cfg.test_only:
+                    # eval-only runs need params/batch_stats only; the
+                    # checkpoint's opt_state may have a different structure
+                    # (e.g. trained with a different --nan_guard setting)
+                    # and must not fail the restore (ADVICE.md round 2)
+                    opt_state = self.state.opt_state
+                    reg_state = self.state.reg_state
+                else:
+                    opt_state = ckpt_lib.restore_like(self.state.opt_state,
+                                                      ck["optimizer_state"])
+                    reg_state = R.restore_full(self.state.reg_state,
+                                               ckpt_lib.load_reg_full(ck))
                 self.state = self.state.replace(
                     params=ck["model_state"]["params"],
                     batch_stats=ck["model_state"]["batch_stats"],
@@ -248,6 +298,12 @@ class Experiment:
                          np.full((rem,) + batch["label"].shape[1:], 255,
                                  batch["label"].dtype)]),
                 }
+        if jax.process_count() > 1:
+            # assemble the global batch from this process's local shard
+            # (the per-host data path of SURVEY §5.8; plain device_put cannot
+            # build a multi-host global array)
+            return {k: jax.make_array_from_process_local_data(self.data_sh, v)
+                    for k, v in batch.items()}
         return {k: jax.device_put(v, self.data_sh) for k, v in batch.items()}
 
     def train_epoch(self, epoch: int) -> dict:
@@ -302,24 +358,41 @@ class Experiment:
         sums, n = {}, 0
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
-        n_dev = self.mesh.devices.size
         # fixed eval batch shape: one compile, remainder batches padded with
-        # ignore labels
-        pad_to = -(-loader.batch_size // n_dev) * n_dev
+        # ignore labels. The pad target is per-PROCESS (each process feeds
+        # its local shard) and must tile over the local devices.
+        n_local = max(self.mesh.devices.size // jax.process_count(), 1)
+        pad_to = -(-loader.batch_size // n_local) * n_local
         pending = []
-        # sample collection for TB image logging (reference run.py:343-349)
+        # sample collection for TB image logging (reference run.py:343-349):
+        # seeded-random ids over the val set, like the reference's
+        # np.random.choice sample_ids — not the stream head, which would show
+        # identical early-class images every epoch (ADVICE.md round 2)
         want = cfg.sample_num if cfg.visualize else 0
+        sample_ids: set = set()
+        if want > 0:
+            srng = np.random.default_rng(cfg.random_seed)
+            n_items = len(loader.dataset) if hasattr(loader, "dataset") else 0
+            if n_items > 0:
+                sample_ids = set(srng.choice(
+                    n_items, size=min(want, n_items), replace=False).tolist())
         samples = []
+        seen = 0  # real (unpadded) samples consumed so far
+        bucket = (not cfg.crop_val) and cfg.eval_bucket_multiple > 0
         for batch in loader.epoch(0):
+            if bucket:
+                batch = pad_to_bucket(batch, cfg.eval_bucket_multiple)
             hist, losses, preds = self.eval_step(
                 variables, self._put_batch(batch, pad_to=pad_to),
                 hist, self.old_vars)
             n += 1
             pending.append(losses)
-            for j in range(min(want - len(samples),
-                               batch["label"].shape[0])):
-                samples.append((batch["image"][j], batch["label"][j],
-                                preds[j]))
+            bsz = batch["label"].shape[0]
+            for j in range(bsz):
+                if seen + j in sample_ids:
+                    samples.append((batch["image"][j], batch["label"][j],
+                                    preds[j]))
+            seen += bsz
         # single host fetch after the whole eval stream (no per-batch sync)
         for fm in jax.device_get(pending):
             for k, v in fm.items():
@@ -327,12 +400,15 @@ class Experiment:
         self.last_val_samples = [(img, lbl, np.asarray(pred))
                                  for img, lbl, pred in samples]
         self.last_confusion = np.asarray(hist)
-        res = results_from_confusion(self.last_confusion,
-                                     total_samples=n * loader.batch_size)
+        res = results_from_confusion(self.last_confusion, total_samples=seen)
         return {k: v / max(n, 1) for k, v in sums.items()}, res
 
     def save(self, epoch: int, score: float):
         cfg = self.cfg
+        if jax.process_index() != 0:
+            # rank-0 checkpoint write (reference run.py:317-322); state is
+            # replicated so process 0 holds every leaf
+            return
         os.makedirs(cfg.ckpt_dir, exist_ok=True)
         reg_saved = R.export_state(self.state.reg_state, self.state.params)
         ckpt_lib.save_checkpoint(cfg.ckpt_path(), self.state, epoch, score,
@@ -490,9 +566,11 @@ class Experiment:
         """Test on all seen classes (reference run.py:361-396)."""
         cfg = self.cfg
         test_loader = DataLoader(self.test_dst,
-                                 cfg.batch_size if cfg.crop_val else 1,
+                                 self.local_batch if cfg.crop_val else 1,
                                  shuffle=False, drop_last=False,
-                                 seed=cfg.random_seed)
+                                 seed=cfg.random_seed,
+                                 process_index=jax.process_index(),
+                                 process_count=jax.process_count())
         losses, score = self.validate(test_loader)
         self.logger.info(results_to_str(score))
         if cfg.visualize:

@@ -19,7 +19,8 @@ from typing import Optional
 
 class Logger:
     def __init__(self, logdir: str, rank: int = 0, debug: bool = False,
-                 summary: bool = True, step: Optional[int] = None):
+                 summary: bool = True, step: Optional[int] = None,
+                 use_wandb: bool = False):
         self.rank = rank
         self.step = step
         self.debug_flag = debug
@@ -45,8 +46,9 @@ class Logger:
                 except Exception:
                     self.writer = None
             # optional wandb mirror (reference run.py:25-30, gated instead of
-            # the hard import at reference train.py:12)
-            if os.environ.get("UCD_TPU_WANDB") == "1":
+            # the hard import at reference train.py:12); enable via the
+            # --wandb CLI flag or UCD_TPU_WANDB=1
+            if use_wandb or os.environ.get("UCD_TPU_WANDB") == "1":
                 try:
                     import wandb
                     wandb.init(project="ucd_tpu", dir=logdir)

@@ -15,6 +15,15 @@ the flax param/batch_stats trees of `models.resnet.ResNet`:
 
 The ABN math is identical (BatchNorm + leaky_relu(0.01)); inplace-abn merely
 computes it in-place, so weights transfer verbatim.
+
+Torch is an OFFLINE dev dependency only: convert the release once with
+
+    python -m ucd_tpu.models.pretrained convert resnet101_iabn_sync.pth.tar \
+        pretrained/resnet101_iabn_sync.npz
+
+and the training process loads the `.npz` torch-free (a production TPU pod
+image does not ship torch; VERDICT.md round-2 item 6). `.pth/.pth.tar`
+paths still load directly when torch is importable.
 """
 
 from __future__ import annotations
@@ -94,14 +103,88 @@ def _put_bn(params, stats, prefix, leaf, val, put):
     # num_batches_tracked is dropped
 
 
-def load_pretrained_body(path: str) -> Optional[dict]:
-    """Load + convert a `.pth.tar` release file (torch CPU). Returns
-    {'params', 'batch_stats'} for the `body` module, or None if missing."""
-    import os
-    if not os.path.exists(path):
-        return None
+def _flatten(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(v)
+    return tree
+
+
+def save_body_npz(body: dict, path: str) -> None:
+    """Write a converted {'params','batch_stats'} body tree as .npz."""
+    np.savez(path, **_flatten(body))
+
+
+def load_body_npz(path: str) -> dict:
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})
+
+
+def load_pretrained_torch(path: str) -> dict:
+    """Load + convert a `.pth.tar` release file (torch CPU, offline/dev)."""
     import torch
     blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob.get("state_dict", blob)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     return convert_torch_body(sd)
+
+
+def load_pretrained_body(path: str) -> Optional[dict]:
+    """Load a pretrained body: `.npz` (torch-free, the production path) or
+    `.pth/.pth.tar` (requires torch — convert offline via the CLI below).
+    Returns {'params', 'batch_stats'} for the `body` module, or None if the
+    file is missing. Prefers a sibling `.npz` of a requested `.pth[.tar]`
+    so converted-once hosts never import torch."""
+    import os
+    if path.endswith(".npz"):
+        return load_body_npz(path) if os.path.exists(path) else None
+    sibling = _npz_sibling(path)
+    if os.path.exists(sibling):
+        return load_body_npz(sibling)
+    if not os.path.exists(path):
+        return None
+    return load_pretrained_torch(path)
+
+
+def _npz_sibling(path: str) -> str:
+    for suf in (".pth.tar", ".pth"):
+        if path.endswith(suf):
+            return path[: -len(suf)] + ".npz"
+    return path + ".npz"
+
+
+def _cli(argv=None):
+    """`python -m ucd_tpu.models.pretrained convert <pth.tar> [out.npz]`"""
+    import argparse
+    p = argparse.ArgumentParser(prog="ucd_tpu.models.pretrained")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("convert", help="torch release -> torch-free .npz")
+    c.add_argument("src")
+    c.add_argument("dst", nargs="?", default=None)
+    args = p.parse_args(argv)
+    dst = args.dst or _npz_sibling(args.src)
+    body = load_pretrained_torch(args.src)
+    save_body_npz(body, dst)
+    n = len(_flatten(body))
+    print(f"wrote {dst} ({n} arrays)")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+    sys.exit(_cli())

@@ -260,10 +260,17 @@ def ucd_contrastive_loss(f_n, labels, l_po, f_o, max_label: int,
     Equivalent of `pre_contractive_pixel(...)` + `PixelConLossV2(...)` at
     reference train.py:115-116 (with the arity defect fixed).
     `bug_compatible` reproduces the shipped unstabilized negative sum
-    (dense path only)."""
+    (dense path only — the tiled kernel is inherently stabilized, so the
+    combination is rejected rather than silently rerouted)."""
+    if use_pallas and bug_compatible:
+        raise ValueError(
+            "use_pallas=True is incompatible with contrastive_bug_compatible:"
+            " the flash-style kernel cannot reproduce the reference's"
+            " UNstabilized negative sum (utils/loss.py:445-449). Pass"
+            " use_pallas_contrastive=False for bug-compatible runs.")
     batch = build_contrastive_batch(f_n, labels, l_po, f_o, max_label)
     batch = compact_batch(batch, capacity)
-    if use_pallas and not bug_compatible:
+    if use_pallas:
         from .pallas_contrastive import pixel_contrastive_loss_pallas
         return pixel_contrastive_loss_pallas(batch, temperature,
                                               precision=precision)

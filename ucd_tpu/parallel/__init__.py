@@ -1,3 +1,4 @@
+from .distributed import local_batch_size, maybe_initialize
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -12,5 +13,6 @@ from .mesh import (
 )
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "channel_sharding",
-           "make_mesh", "make_mesh_2d", "make_mesh_for_batch", "replicate",
+           "local_batch_size", "make_mesh", "make_mesh_2d",
+           "make_mesh_for_batch", "maybe_initialize", "replicate",
            "replicated", "shard_batch"]
