@@ -209,11 +209,18 @@ def test_full_model_forward_parity_resnet101(rng):
         torch.from_numpy(to_nchw(x)), params, stats, structure, classes,
         pooling_size=4)
 
-    np.testing.assert_allclose(np.asarray(logits), to_nhwc(ref_logits),
-                               rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(feats["sem"]), to_nhwc(ref_sem),
-                               rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(feats["body"]), to_nhwc(ref_batt),
-                               rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(feats["pre_logits"]),
-                               to_nhwc(ref_platt), rtol=1e-3, atol=1e-4)
+    # Activations reach ~1e14 through 33 fake-stat bottlenecks, so per-element
+    # rtol is dominated by fp32 cancellation noise; compare relative to each
+    # tensor's scale instead. A converter/layout/architecture bug yields
+    # relerr ~1 (seen when deliberately transposing a kernel); fp32
+    # accumulation noise is <=1e-5.
+    def _close(a, b, name):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max()
+        relerr = np.abs(a - b).max() / max(scale, 1e-12)
+        assert relerr < 1e-4, f"{name}: scale-normalized err {relerr:.3e}"
+
+    _close(logits, to_nhwc(ref_logits), "logits")
+    _close(feats["sem"], to_nhwc(ref_sem), "sem")
+    _close(feats["body"], to_nhwc(ref_batt), "body_att")
+    _close(feats["pre_logits"], to_nhwc(ref_platt), "pre_logits_att")
