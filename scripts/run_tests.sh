@@ -23,7 +23,7 @@ fi
 fail=0
 total_passed=0
 for f in tests/test_*.py; do
-    out=$("${ENV[@]}" python -m pytest "$f" -q "$@" 2>&1 | tail -2)
+    out=$("${ENV[@]}" python -m pytest "$f" -q -m "slow or not slow" "$@" 2>&1 | tail -2)
     echo "== $f: $out" | tr '\n' ' '
     echo
     if ! echo "$out" | grep -qE "^[0-9]+ passed"; then

@@ -13,6 +13,10 @@ from ucd_tpu.cli import build_parser, config_from_args
 from ucd_tpu.data import SyntheticSegmentation
 from ucd_tpu.engine.experiment import Experiment, get_datasets
 
+# heavy end-to-end file: excluded from the default fast selection (pytest.ini);
+# run via scripts/run_tests.sh or -m 'slow or not slow'
+pytestmark = pytest.mark.slow
+
 SIZE = 32
 
 

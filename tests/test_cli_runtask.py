@@ -8,6 +8,10 @@ import os
 
 import pytest
 
+# heavy end-to-end file: excluded from the default fast selection (pytest.ini);
+# run via scripts/run_tests.sh or -m 'slow or not slow'
+pytestmark = pytest.mark.slow
+
 
 def test_run_task_two_steps(tmp_path, capsys):
     from ucd_tpu.cli import main

@@ -15,6 +15,10 @@ from ucd_tpu.data import SyntheticSegmentation
 from ucd_tpu.engine.experiment import Experiment, get_datasets
 from ucd_tpu.utils.reporting import aggregate_csv, format_report, write_step_csv
 
+# heavy end-to-end file: excluded from the default fast selection (pytest.ini);
+# run via scripts/run_tests.sh or -m 'slow or not slow'
+pytestmark = pytest.mark.slow
+
 SIZE = 32
 
 

@@ -20,6 +20,10 @@ from ucd_tpu.engine import (build_train_state, empty_confusion,
                             results_from_confusion)
 from ucd_tpu.models import make_model
 
+# heavy end-to-end file: excluded from the default fast selection (pytest.ini);
+# run via scripts/run_tests.sh or -m 'slow or not slow'
+pytestmark = pytest.mark.slow
+
 SIZE = 64
 N_CLS = 4  # bkg + classes 1,2 (step 0) + class 3 (step 1)
 EPOCHS = 15

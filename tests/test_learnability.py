@@ -16,6 +16,11 @@ from ucd_tpu.engine import (build_train_state, empty_confusion,
                             make_eval_step, make_train_step,
                             results_from_confusion)
 from ucd_tpu.models import make_model
+import pytest
+
+# heavy end-to-end file: excluded from the default fast selection (pytest.ini);
+# run via scripts/run_tests.sh or -m 'slow or not slow'
+pytestmark = pytest.mark.slow
 
 SIZE = 64
 N_CLS = 4  # bkg + 3 paint classes

@@ -13,6 +13,10 @@ import sys
 
 import pytest
 
+# heavy end-to-end file: excluded from the default fast selection (pytest.ini);
+# run via scripts/run_tests.sh or -m 'slow or not slow'
+pytestmark = pytest.mark.slow
+
 SCENARIO = r'''
 import os, sys
 import numpy as np, jax

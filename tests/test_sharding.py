@@ -11,6 +11,11 @@ from ucd_tpu import config
 from ucd_tpu.engine import build_train_state, make_train_step
 from ucd_tpu.models import make_model
 from ucd_tpu.parallel import batch_sharding, make_mesh, replicated
+import pytest
+
+# heavy end-to-end file: excluded from the default fast selection (pytest.ini);
+# run via scripts/run_tests.sh or -m 'slow or not slow'
+pytestmark = pytest.mark.slow
 
 SIZE = 32
 B = 8

@@ -21,6 +21,10 @@ from ucd_tpu.engine import (
 )
 from ucd_tpu.models import make_model
 
+# heavy end-to-end file: excluded from the default fast selection (pytest.ini);
+# run via scripts/run_tests.sh or -m 'slow or not slow'
+pytestmark = pytest.mark.slow
+
 SIZE = 32
 B = 4
 
