@@ -174,3 +174,25 @@ def test_no_new_pixels_no_nan(rng):
     loss = ucd_contrastive_loss(jnp.array(f_n), jnp.array(labels),
                                 jnp.array(l_po), jnp.array(f_o), MAX_LABEL, TAU)
     assert np.isfinite(float(loss))
+
+
+def test_dense_grad_finite_with_invalid_anchor_rows(rng):
+    """Regression: an anchor row whose pairs are ALL invalid used to get
+    row_max=-1e30 -> exp overflow -> nan leaking into the gradient through
+    the final where (forward was masked, backward was not)."""
+    import jax
+    from ucd_tpu.ops.contrastive import build_contrastive_batch
+
+    f_n = rng.randn(2, 8, 8, 8).astype(np.float32)
+    f_o = rng.randn(2, 8, 8, 8).astype(np.float32)
+    l_po = rng.randn(2, 8, 8, 9).astype(np.float32) * 3
+    labels = rng.randint(0, 9, size=(2, 32, 32)).astype(np.int32)
+    labels[0] = 0          # an entire image of background -> invalid anchors
+    batch = build_contrastive_batch(jnp.array(f_n), jnp.array(labels),
+                                    jnp.array(l_po), jnp.array(f_o), 8)
+    assert not bool(jnp.all(batch.anchor_valid))
+    loss, g = jax.value_and_grad(
+        lambda af: pixel_contrastive_loss(batch._replace(anchor_feat=af),
+                                          0.07))(batch.anchor_feat)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(g)).all(), "nan/inf in dense grad"

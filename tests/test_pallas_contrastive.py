@@ -117,3 +117,26 @@ def test_pallas_bug_compatible_is_an_error(rng):
     with pytest.raises(ValueError, match="no_pallas"):
         config.make_config(dataset="voc", task="15-5s", step=1, method="UCD",
                            contrastive_bug_compatible=True)
+
+
+def test_bf16_mode_close_to_dense(rng):
+    """compute_dtype=bfloat16 (the bf16-training fast path: bf16 tiles,
+    TC_BF16 contrast tile) stays within bf16 rounding of the dense f32
+    loss, fwd and bwd."""
+    batch = make_batch(rng, B=2, H=32, W=32, h=8, w=8, N=8, C=9, max_label=8)
+    dense = pixel_contrastive_loss(batch, TAU)
+    kernel = pixel_contrastive_loss_pallas(batch, TAU, interpret=True,
+                                           compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(float(kernel), float(dense), rtol=3e-2)
+
+    g_dense = jax.grad(
+        lambda af: pixel_contrastive_loss(batch._replace(anchor_feat=af), TAU)
+    )(batch.anchor_feat)
+    g_kernel = jax.grad(
+        lambda af: pixel_contrastive_loss_pallas(
+            batch._replace(anchor_feat=af), TAU, interpret=True,
+            compute_dtype=jnp.bfloat16)
+    )(batch.anchor_feat)
+    scale = np.abs(np.asarray(g_dense)).max()
+    relerr = np.abs(np.asarray(g_kernel) - np.asarray(g_dense)).max() / scale
+    assert relerr < 5e-2, f"bf16 grad relerr {relerr:.3e}"

@@ -112,6 +112,10 @@ def compute_train_losses(cfg: Config, outputs, feats, labels,
             capacity=cfg.contrastive_capacity,
             use_pallas=cfg.use_pallas_contrastive,
             bug_compatible=cfg.contrastive_bug_compatible,
+            # bf16 training: the kernel streams bf16 tiles (half the HBM
+            # traffic, one-pass MXU dots); f32 runs keep the exact path
+            kernel_dtype=(jnp.bfloat16 if cfg.dtype == "bfloat16"
+                          else jnp.float32),
         ) * cfg.contrastive_weight
     terms["l_con"] = l_con
 

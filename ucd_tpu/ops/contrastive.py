@@ -222,21 +222,25 @@ def pixel_contrastive_loss(batch: ContrastiveBatch, temperature: float = 0.07,
     adc = jnp.matmul(A, C.T, precision=precision) / temperature
     neg_big = jnp.float32(-1e30)
     adc_masked = jnp.where(pair_valid, adc, neg_big)
+    # rows with NO valid pair would give row_max=-1e30, making
+    # shifted=adc+1e30 -> exp=inf -> inf*0=nan that leaks into the GRADIENT
+    # through the final where (forward is masked, backward is not — the
+    # classic jnp.where trap). Clamp those rows' max to 0: their pos values
+    # become ordinary finite numbers that mask_p then zeroes exactly.
+    row_max = jax.lax.stop_gradient(
+        jnp.max(adc_masked, axis=1, keepdims=True))
+    row_max = jnp.where(row_max <= neg_big * 0.5, 0.0, row_max)
 
     if bug_compatible:
         # shipped formula: negative row-sum in RAW exp space, positive term
         # shifted by the row max (utils/loss.py:449-462)
         neg = jnp.sum(jnp.where(mask_n, jnp.exp(adc), 0.0), axis=1,
                       keepdims=True)
-        row_max = jax.lax.stop_gradient(
-            jnp.max(adc_masked, axis=1, keepdims=True))
         shifted = adc - row_max
         pos = (shifted - jnp.log(jnp.exp(shifted) + neg))
     else:
         # intended math, fully stabilized:
         # pos_ij = adc_ij - log(exp(adc_ij) + sum_neg exp(adc_ik))
-        row_max = jax.lax.stop_gradient(
-            jnp.max(adc_masked, axis=1, keepdims=True))
         shifted = adc - row_max
         neg = jnp.sum(jnp.where(mask_n, jnp.exp(shifted), 0.0), axis=1,
                       keepdims=True)
@@ -255,7 +259,8 @@ def ucd_contrastive_loss(f_n, labels, l_po, f_o, max_label: int,
                          temperature: float = 0.07, capacity: int = 0,
                          use_pallas: bool = False,
                          bug_compatible: bool = False,
-                         precision=None) -> jnp.ndarray:
+                         precision=None,
+                         kernel_dtype=None) -> jnp.ndarray:
     """End-to-end UCD contrastive term: build batch -> (compact) -> loss.
     Equivalent of `pre_contractive_pixel(...)` + `PixelConLossV2(...)` at
     reference train.py:115-116 (with the arity defect fixed).
@@ -272,8 +277,9 @@ def ucd_contrastive_loss(f_n, labels, l_po, f_o, max_label: int,
     batch = compact_batch(batch, capacity)
     if use_pallas:
         from .pallas_contrastive import pixel_contrastive_loss_pallas
-        return pixel_contrastive_loss_pallas(batch, temperature,
-                                              precision=precision)
+        return pixel_contrastive_loss_pallas(
+            batch, temperature, precision=precision,
+            compute_dtype=kernel_dtype or jnp.float32)
     return pixel_contrastive_loss(batch, temperature,
                                   bug_compatible=bug_compatible,
                                   precision=precision)

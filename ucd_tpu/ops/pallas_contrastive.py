@@ -36,8 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .contrastive import ContrastiveBatch
 
-TA = 256   # anchor tile rows
-TC = 512   # contrast tile cols
+TA = 256   # anchor tile rows (f32 mode)
+TC = 512   # contrast tile cols (f32 mode)
+# bf16 tiles: half the bytes per element, so double the contrast tile —
+# fewer grid invocations and ~4x less HBM re-streaming of the feature
+# blocks (each af block is fetched once per contrast tile).
+TC_BF16 = 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -54,14 +58,15 @@ def _on_tpu() -> bool:
 def _tile_masks(la, lv, ln, lc, cv, cn, row0, col0):
     """Per-tile positive/negative masks and JM forcing mask.
 
-    la/lv/ln: anchor labels/valid/is_new, shape (TA, 1)
-    lc/cv/cn: contrast labels/valid/is_new, shape (1, TC)
+    la/lv/ln: anchor labels/valid/is_new, shape (ta, 1)
+    lc/cv/cn: contrast labels/valid/is_new, shape (1, tc)
     row0/col0: global offsets of this tile.
     """
+    ta, tc = la.shape[0], lc.shape[1]
     pair_valid = (lv > 0) & (cv > 0)
     R = (la == lc) & pair_valid
-    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (TA, TC), 0)
-    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (TA, TC), 1)
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (ta, tc), 0)
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (ta, tc), 1)
     eye = rows == cols
     mask_p = R & (~eye)
     mask_n = (~R) & pair_valid
@@ -73,8 +78,8 @@ def _pass1_kernel(af, la, lv, ln, cf, lc, cv, cn,
                   neg_out, num_out, *, tau: float, precision):
     """neg_i += sum_j mask_n exp(adc); num_i += sum_j mask_p."""
     j = pl.program_id(1)
-    row0 = pl.program_id(0) * TA
-    col0 = j * TC
+    row0 = pl.program_id(0) * af.shape[0]
+    col0 = j * cf.shape[0]
 
     @pl.when(j == 0)
     def _():
@@ -95,8 +100,8 @@ def _pass2_kernel(af, ap, la, lv, ln, cf, cp, lc, cv, cn, neg,
     """S_i += sum_j mask_p JM (adc - log(exp(adc)+neg_i));
        G_i += sum_j mask_p JM / (exp(adc)+neg_i)."""
     j = pl.program_id(1)
-    row0 = pl.program_id(0) * TA
-    col0 = j * TC
+    row0 = pl.program_id(0) * af.shape[0]
+    col0 = j * cf.shape[0]
 
     @pl.when(j == 0)
     def _():
@@ -123,8 +128,8 @@ def _bwd_kernel(af, ap, la, lv, ln, cf, cp, lc, cv, cn, neg, g_row, coef,
     """da_i = sum_j dL/dadc_ij * c_j / tau, with
        dL/dadc_ij = coef_i * [mask_p JM (1 - e/(e+neg)) - mask_n e G_i]."""
     j = pl.program_id(1)
-    row0 = pl.program_id(0) * TA
-    col0 = j * TC
+    row0 = pl.program_id(0) * af.shape[0]
+    col0 = j * cf.shape[0]
 
     @pl.when(j == 0)
     def _():
@@ -143,42 +148,50 @@ def _bwd_kernel(af, ap, la, lv, ln, cf, cp, lc, cv, cn, neg, g_row, coef,
     denom = e + neg[:]
     dadc = coef[:] * (w * (1.0 - e / denom)
                       - jnp.where(mask_n, e, 0.0) * g_row[:])
-    da_out[:] += jnp.dot(dadc, cf[:], preferred_element_type=jnp.float32,
+    # match cf's dtype so the MXU sees a homogeneous (single-pass in bf16
+    # mode) matmul; accumulation stays f32 via preferred_element_type
+    da_out[:] += jnp.dot(dadc.astype(cf.dtype), cf[:],
+                         preferred_element_type=jnp.float32,
                          precision=precision) / tau
 
 
-def _row_spec():
-    return pl.BlockSpec((TA, 1), lambda i, j: (i, 0),
+def _row_spec(ta):
+    return pl.BlockSpec((ta, 1), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _col_spec():
-    return pl.BlockSpec((1, TC), lambda i, j: (0, j),
+def _col_spec(tc):
+    return pl.BlockSpec((1, tc), lambda i, j: (0, j),
                         memory_space=pltpu.VMEM)
 
 
-def _anchor_spec(d):
-    return pl.BlockSpec((TA, d), lambda i, j: (i, 0),
+def _anchor_spec(ta, d):
+    return pl.BlockSpec((ta, d), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _contrast_spec(d):
-    return pl.BlockSpec((TC, d), lambda i, j: (j, 0),
+def _contrast_spec(tc, d):
+    return pl.BlockSpec((tc, d), lambda i, j: (j, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _prep(batch: ContrastiveBatch):
+def _tiles(compute_dtype):
+    return (TA, TC_BF16) if compute_dtype == jnp.bfloat16 else (TA, TC)
+
+
+def _prep(batch: ContrastiveBatch, compute_dtype):
     """Pad every array to tile multiples; pack masks as float rows/cols."""
+    ta, tc = _tiles(compute_dtype)
     P, D = batch.anchor_feat.shape
     M = batch.contrast_feat.shape[0]
     C = batch.anchor_prob.shape[1]
-    Pp, Mp, Cp = _round_up(P, TA), _round_up(M, TC), _round_up(C, 128)
+    Pp, Mp, Cp = _round_up(P, ta), _round_up(M, tc), _round_up(C, 128)
     f32 = jnp.float32
 
     def pad2(x, rows, cols=None):
         pr = rows - x.shape[0]
         pc = 0 if cols is None else cols - x.shape[1]
-        return jnp.pad(x.astype(f32), ((0, pr), (0, pc)))
+        return jnp.pad(x.astype(compute_dtype), ((0, pr), (0, pc)))
 
     af = pad2(batch.anchor_feat, Pp)
     cf = pad2(batch.contrast_feat, Mp)
@@ -201,28 +214,31 @@ def _prep(batch: ContrastiveBatch):
     return af, ap, la, lv, ln, cf, cp, lc, cv, cn, Pp, Mp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def _pallas_loss(batch: ContrastiveBatch, tau: float, interpret: bool,
-                 precision):
-    loss, _ = _pallas_fwd_impl(batch, tau, interpret, precision)
+                 precision, compute_dtype):
+    loss, _ = _pallas_fwd_impl(batch, tau, interpret, precision,
+                               compute_dtype)
     return loss
 
 
-def _pallas_fwd_impl(batch, tau, interpret, precision):
-    af, ap, la, lv, ln, cf, cp, lc, cv, cn, Pp, Mp = _prep(batch)
-    grid = (Pp // TA, Mp // TC)
+def _pallas_fwd_impl(batch, tau, interpret, precision, compute_dtype):
+    af, ap, la, lv, ln, cf, cp, lc, cv, cn, Pp, Mp = _prep(batch,
+                                                          compute_dtype)
+    ta, tc = _tiles(compute_dtype)
+    grid = (Pp // ta, Mp // tc)
     D, Cp = af.shape[1], ap.shape[1]
 
     in_specs = [
-        _anchor_spec(D), _anchor_spec(Cp), _row_spec(), _row_spec(),
-        _row_spec(), _contrast_spec(D), _contrast_spec(Cp), _col_spec(),
-        _col_spec(), _col_spec(),
+        _anchor_spec(ta, D), _anchor_spec(ta, Cp), _row_spec(ta),
+        _row_spec(ta), _row_spec(ta), _contrast_spec(tc, D),
+        _contrast_spec(tc, Cp), _col_spec(tc), _col_spec(tc), _col_spec(tc),
     ]
     pass1_specs = [
-        _anchor_spec(D), _row_spec(), _row_spec(), _row_spec(),
-        _contrast_spec(D), _col_spec(), _col_spec(), _col_spec(),
+        _anchor_spec(ta, D), _row_spec(ta), _row_spec(ta), _row_spec(ta),
+        _contrast_spec(tc, D), _col_spec(tc), _col_spec(tc), _col_spec(tc),
     ]
-    out_spec = pl.BlockSpec((TA, 1), lambda i, j: (i, 0),
+    out_spec = pl.BlockSpec((ta, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
 
     neg, num = pl.pallas_call(
@@ -253,14 +269,16 @@ def _pallas_fwd_impl(batch, tau, interpret, precision):
     return loss, residuals
 
 
-def _pallas_fwd(batch, tau, interpret, precision):
-    return _pallas_fwd_impl(batch, tau, interpret, precision)
+def _pallas_fwd(batch, tau, interpret, precision, compute_dtype):
+    return _pallas_fwd_impl(batch, tau, interpret, precision, compute_dtype)
 
 
-def _pallas_bwd(tau, interpret, precision, residuals, ct):
+def _pallas_bwd(tau, interpret, precision, compute_dtype, residuals, ct):
     batch, neg, num, g, n_active = residuals
-    af, ap, la, lv, ln, cf, cp, lc, cv, cn, Pp, Mp = _prep(batch)
-    grid = (Pp // TA, Mp // TC)
+    af, ap, la, lv, ln, cf, cp, lc, cv, cn, Pp, Mp = _prep(batch,
+                                                           compute_dtype)
+    ta, tc = _tiles(compute_dtype)
+    grid = (Pp // ta, Mp // tc)
     D, Cp = af.shape[1], ap.shape[1]
 
     has_pos = num > 0
@@ -269,19 +287,19 @@ def _pallas_bwd(tau, interpret, precision, residuals, ct):
                      -ct / (jnp.maximum(num, 1.0) * n_active.astype(jnp.float32)),
                      0.0)
 
+    row1 = pl.BlockSpec((ta, 1), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
     in_specs = [
-        _anchor_spec(D), _anchor_spec(Cp), _row_spec(), _row_spec(),
-        _row_spec(), _contrast_spec(D), _contrast_spec(Cp), _col_spec(),
-        _col_spec(), _col_spec(),
-        pl.BlockSpec((TA, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TA, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TA, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        _anchor_spec(ta, D), _anchor_spec(ta, Cp), _row_spec(ta),
+        _row_spec(ta), _row_spec(ta), _contrast_spec(tc, D),
+        _contrast_spec(tc, Cp), _col_spec(tc), _col_spec(tc), _col_spec(tc),
+        row1, row1, row1,
     ]
     da = pl.pallas_call(
         functools.partial(_bwd_kernel, tau=tau, precision=precision),
         grid=grid,
         in_specs=in_specs,
-        out_specs=_anchor_spec(D),
+        out_specs=_anchor_spec(ta, D),
         out_shape=jax.ShapeDtypeStruct((Pp, D), jnp.float32),
         interpret=interpret,
     )(af, ap, la, lv, ln, cf, cp, lc, cv, cn, neg, g, coef)
@@ -307,7 +325,8 @@ _pallas_loss.defvjp(_pallas_fwd, _pallas_bwd)
 def pixel_contrastive_loss_pallas(batch: ContrastiveBatch,
                                   temperature: float = 0.07,
                                   interpret: Optional[bool] = None,
-                                  precision=None) -> jnp.ndarray:
+                                  precision=None,
+                                  compute_dtype=jnp.float32) -> jnp.ndarray:
     """Drop-in replacement for ops.contrastive.pixel_contrastive_loss using
     the tiled kernel. Gradient flows only through anchor features (the
     contrast set and JM_p are detached in the reference,
@@ -318,8 +337,16 @@ def pixel_contrastive_loss_pallas(batch: ContrastiveBatch,
     convention; ~1e-3 relative logit rounding, negligible under the 0.01
     loss weight and 13% cheaper end-to-end than 'highest'. Pass 'highest'
     for exactness checks (bench.py parity gate: kernel-vs-dense agree to
-    ~1e-6 on TPU at 'highest')."""
+    ~1e-6 on TPU at 'highest').
+
+    `compute_dtype`: VMEM dtype for the feature/probability tiles.
+    jnp.bfloat16 halves the kernel's HBM streaming, doubles the contrast
+    tile (TC_BF16) and makes every MXU dot a native one-pass bf16 matmul;
+    accumulation and all transcendental work stay f32. Feature rounding is
+    ~4e-3 relative — in the bf16 training config (where the backbone
+    activations were bf16 anyway) this is below the loss term's existing
+    noise floor; keep f32 for exactness gates."""
     if interpret is None:
         interpret = not _on_tpu()
     return _pallas_loss(batch, float(temperature), bool(interpret),
-                        precision)
+                        precision, jnp.dtype(compute_dtype).type)
