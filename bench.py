@@ -61,6 +61,23 @@ def check_pallas_parity_on_device():
     grad_err = float(np.linalg.norm(gp - gd) / max(gnorm, 1e-12))
     assert loss_err <= 1e-4, f"pallas loss mismatch on device: {lp} vs {ld}"
     assert grad_err <= 1e-4, f"pallas grad mismatch on device: {grad_err}"
+
+    # the bf16 fast path (what the bf16 training config actually runs:
+    # bf16 VMEM tiles, TC=1024) — bounded by bf16 feature rounding, so the
+    # bar is loose; catches tile/mask bugs that only appear at the wide tile
+    lb, gb = jax.jit(jax.value_and_grad(
+        lambda f: ucd_contrastive_loss(f, labels, sem_old, f_old,
+                                       max_label=max_label, temperature=0.07,
+                                       capacity=0, use_pallas=True,
+                                       kernel_dtype=jnp.bfloat16)))(f_new)
+    lb = float(lb)
+    gb = np.asarray(gb, np.float64)
+    bf16_loss_err = abs(lb - ld) / max(abs(ld), 1e-12)
+    bf16_grad_err = float(np.linalg.norm(gb - gd) / max(gnorm, 1e-12))
+    assert bf16_loss_err <= 3e-2, \
+        f"pallas bf16-mode loss mismatch on device: {lb} vs {ld}"
+    assert bf16_grad_err <= 5e-2, \
+        f"pallas bf16-mode grad mismatch on device: {bf16_grad_err}"
     return loss_err, grad_err
 
 

@@ -203,3 +203,27 @@ def test_identity_block_parity(rng, stride, dilation):
                                dilation)
     np.testing.assert_allclose(np.asarray(ours), to_nhwc(ref.numpy()),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_s2d_stem_conv_matches_plain_conv(rng):
+    """S2DStemConv (space-to-depth packed 4x4 s1) == plain 7x7 s2 conv with
+    the SAME (7,7,C,64) kernel parameter, including the zero-tap boundary
+    rows, on even inputs; odd inputs fall back to the plain lowering."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from ucd_tpu.models.resnet import S2DStemConv
+    from ucd_tpu.models.layers import conv as plain_conv
+
+    for H, W in [(32, 32), (64, 48), (33, 32)]:
+        x = jnp.asarray(rng.randn(2, H, W, 3), jnp.float32)
+        s2d = S2DStemConv(features=64)
+        v = s2d.init(jax.random.key(0), x)
+        y_packed = s2d.apply(v, x)
+        ref = plain_conv(64, 7, 2)
+        vref = {"params": {"kernel": v["params"]["kernel"]}}
+        y_plain = ref.apply(vref, x)
+        assert y_packed.shape == y_plain.shape, (H, W)
+        np.testing.assert_allclose(np.asarray(y_packed),
+                                   np.asarray(y_plain),
+                                   rtol=1e-4, atol=1e-5)

@@ -113,6 +113,9 @@ class Config:
     bf16_norm: bool = False        # BatchNorm compute in bf16 (stats f32)
     data_axis: int = 0             # mesh axis size 0 = all devices
     remat: bool = False            # rematerialize backbone blocks to save HBM
+    stem_s2d: bool = True          # space-to-depth packed stem conv: exactly
+                                   # equivalent math, TPU-friendly layout
+                                   # (models/resnet.py:S2DStemConv)
     nan_guard: bool = False        # skip updates with non-finite grads
                                    # (optax.apply_if_finite; NEW vs reference)
     use_pallas_contrastive: bool = True

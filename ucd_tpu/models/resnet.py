@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -31,6 +32,52 @@ STRUCTURES = {
     "resnet101": ([3, 4, 23, 3], True),
     "resnet152": ([3, 8, 36, 3], True),
 }
+
+
+class S2DStemConv(nn.Module):
+    """The stem 7x7/stride-2 conv computed space-to-depth packed.
+
+    A 7x7 s2 conv on (H,W,3) is layout-hostile on TPU: 3 input channels pad
+    terribly onto the MXU and the stride-2 window re-reads HBM (measured
+    95-237 GB/s vs the 819 GB/s peak — BASELINE.md round-3 trace). Packing
+    2x2 pixel blocks into channels turns it into an EXACTLY equivalent
+    4x4 stride-1 conv on (H/2,W/2,12):
+
+        y[p,q] = sum_{u,v} W[u,v] x[2p+u-3, 2q+v-3]
+               = sum_{i,j,a,b} W[2i+a-1, 2j+b-1] X[p+i-2, q+j-2, (a,b,:)]
+
+    so K[i,j,(a,b,c),o] = W[2i+a-1, 2j+b-1, c, o] (zero where u or v falls
+    outside [0,6]) with asymmetric padding (2,1). The PARAMETER stays the
+    standard (7,7,C,64) `kernel` — checkpoints, the pretrained converter and
+    the torch parity oracle are unaffected; only the compute layout changes
+    (MLPerf-ResNet space-to-depth trick, here derived for k=7 s=2 p=3)."""
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (7, 7, c_in, self.features), jnp.float32)
+        B, H, W, _ = x.shape
+        if H % 2 or W % 2:
+            # odd input: fall back to the plain conv (same param)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xp = x.reshape(B, H // 2, 2, W // 2, 2, c_in)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2,
+                                                    4 * c_in)
+        wp = jnp.pad(kernel, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        K = wp[0:8, 0:8].reshape(4, 2, 4, 2, c_in, self.features)
+        K = K.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c_in,
+                                                  self.features)
+        return jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), K.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class ResidualBlock(nn.Module):
@@ -145,6 +192,7 @@ class ResNet(nn.Module):
     output_stride: int = 16
     dtype: Any = jnp.float32
     remat: bool = False
+    stem_s2d: bool = True   # space-to-depth packed stem conv (same params)
 
     @property
     def out_channels(self) -> int:
@@ -161,7 +209,11 @@ class ResNet(nn.Module):
             raise ValueError("output stride must be 8 or 16")
 
         # stem: mod1
-        y = conv(64, 7, 2, dtype=self.dtype, name="mod1_conv1")(x)
+        if self.stem_s2d:
+            y = S2DStemConv(features=64, dtype=self.dtype,
+                            name="mod1_conv1")(x)
+        else:
+            y = conv(64, 7, 2, dtype=self.dtype, name="mod1_conv1")(x)
         y = ABN(dtype=self.dtype, name="mod1_bn1")(y, train)
         if dilation[0] == 1:
             y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -187,7 +239,8 @@ class ResNet(nn.Module):
 
 
 def make_backbone(name: str, output_stride: int, dtype=jnp.float32,
-                  remat: bool = False) -> ResNet:
+                  remat: bool = False, stem_s2d: bool = True) -> ResNet:
     structure, bottleneck = STRUCTURES[name]
     return ResNet(structure=structure, bottleneck=bottleneck,
-                  output_stride=output_stride, dtype=dtype, remat=remat)
+                  output_stride=output_stride, dtype=dtype, remat=remat,
+                  stem_s2d=stem_s2d)

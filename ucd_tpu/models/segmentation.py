@@ -55,6 +55,7 @@ class IncrementalSegmentationModel(nn.Module):
     dtype: Any = jnp.float32
     upsample_dtype: Any = jnp.float32
     remat: bool = False
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, fix_bn: bool = False):
@@ -65,7 +66,7 @@ class IncrementalSegmentationModel(nn.Module):
         structure, bottleneck = STRUCTURES[self.backbone]
         body = ResNet(structure=structure, bottleneck=bottleneck,
                       output_stride=self.output_stride, dtype=self.dtype,
-                      remat=self.remat, name="body")
+                      remat=self.remat, stem_s2d=self.stem_s2d, name="body")
         x_b = body(x, bn_train)
         head = DeeplabV3(out_channels=self.head_channels,
                          hidden_channels=256,
@@ -123,6 +124,7 @@ def make_model(cfg, classes: Sequence[int] | None = None) -> IncrementalSegmenta
         dtype=dtype,
         upsample_dtype=up_dtype,
         remat=cfg.remat,
+        stem_s2d=getattr(cfg, "stem_s2d", True),
     )
 
 
