@@ -125,13 +125,13 @@ def main():
         use_pallas_contrastive=os.environ.get("BENCH_PALLAS", "1") == "1",
         bf16_upsample=os.environ.get("BENCH_BF16_UP", "1") == "1",
         bf16_norm=os.environ.get("BENCH_BF16_NORM", "0") == "1",
-        stem_s2d=os.environ.get("BENCH_S2D", "1") == "1",
+        stem_s2d=os.environ.get("BENCH_S2D", "0") == "1",
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
     cfg0 = config.make_config(dataset=dataset, task=task, step=0,
                               backbone=backbone, crop_size=size,
                               dtype="bfloat16",
-                              stem_s2d=os.environ.get("BENCH_S2D", "1") == "1")
+                              stem_s2d=os.environ.get("BENCH_S2D", "0") == "1")
 
     model = make_model(cfg)
     if method == "UCD":

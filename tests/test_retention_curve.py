@@ -22,8 +22,8 @@ import pytest
 # run via scripts/run_tests.sh or -m 'slow or not slow'
 pytestmark = pytest.mark.slow
 
-N_IMAGES = 80
-EPOCHS = 8
+N_IMAGES = 48
+EPOCHS = 25
 
 
 def _run_task(tmp_path, method):
@@ -32,9 +32,9 @@ def _run_task(tmp_path, method):
     logdir = str(tmp_path / f"logs_{method}")
     rc = main([
         "run-task", "--dataset", "voc", "--task", "15-5s", "--step", "0",
-        "--method", method, "--backbone", "resnet50", "--crop_size", "48",
+        "--method", method, "--backbone", "resnet50", "--crop_size", "64",
         "--output_stride", "8", "--batch_size", "8",
-        "--epochs", str(EPOCHS), "--lr", "0.05",
+        "--epochs", str(EPOCHS), "--lr", "0.1", "--overlap",
         "--dtype", "float32", "--no_pretrained",
         "--synthetic_learnable", str(N_IMAGES),
         "--no_pallas", "--contrastive_capacity", "256",

@@ -113,9 +113,12 @@ class Config:
     bf16_norm: bool = False        # BatchNorm compute in bf16 (stats f32)
     data_axis: int = 0             # mesh axis size 0 = all devices
     remat: bool = False            # rematerialize backbone blocks to save HBM
-    stem_s2d: bool = True          # space-to-depth packed stem conv: exactly
-                                   # equivalent math, TPU-friendly layout
-                                   # (models/resnet.py:S2DStemConv)
+    stem_s2d: bool = False         # space-to-depth packed stem conv
+                                   # (models/resnet.py:S2DStemConv): exactly
+                                   # equivalent math; measured ~5% SLOWER on
+                                   # v5e (12 input channels still pad to the
+                                   # 128 MXU lanes) so off by default —
+                                   # BASELINE.md round-3 sweep
     nan_guard: bool = False        # skip updates with non-finite grads
                                    # (optax.apply_if_finite; NEW vs reference)
     use_pallas_contrastive: bool = True

@@ -203,21 +203,32 @@ class LearnableSynthetic:
 
     def __init__(self, n: int = 32, size: int = 64, n_classes: int = 4,
                  seed: int = 0, noise: float = 18.0, color_seed: int = 1234):
+        assert n_classes <= 27, "lattice palette supports up to 27 classes"
         rng = np.random.RandomState(seed)
         # per-class anchor colors from a SEPARATE seed: train/val splits with
-        # different layout seeds must share the class->color mapping
-        colors = np.random.RandomState(color_seed).randint(
-            32, 224, size=(n_classes, 3))
+        # different layout seeds must share the class->color mapping.
+        # Colors come from a 3x3x3 RGB lattice (pairwise distance >= 88),
+        # shuffled by color_seed: at 20+ classes, uniformly-random colors
+        # collide within the noise radius and the task stops being learnable
+        # — the lattice keeps every class pair separable.
+        grid = np.array([[r, g, b]
+                         for r in (40, 128, 216)
+                         for g in (40, 128, 216)
+                         for b in (40, 128, 216)], dtype=np.int64)
+        perm = np.random.RandomState(color_seed).permutation(len(grid))
+        colors = grid[perm[:n_classes]]
         self.images = np.empty((n, size, size, 3), np.uint8)
         self.labels = np.empty((n, size, size), np.uint8)
         for i in range(n):
             lbl = np.zeros((size, size), np.uint8)
-            # a few random class rectangles over background 0
-            for _ in range(4):
+            # dense random class rectangles over background 0: with many
+            # classes the per-class pixel budget is what sets how fast a
+            # short CPU training run can learn, so keep foreground dominant
+            for _ in range(8):
                 c = rng.randint(1, n_classes)
-                h0, w0 = rng.randint(0, size // 2, size=2)
-                h1 = h0 + rng.randint(size // 4, size // 2)
-                w1 = w0 + rng.randint(size // 4, size // 2)
+                h0, w0 = rng.randint(0, (2 * size) // 3, size=2)
+                h1 = h0 + rng.randint(size // 3, (2 * size) // 3)
+                w1 = w0 + rng.randint(size // 3, (2 * size) // 3)
                 lbl[h0:h1, w0:w1] = c
             img = colors[lbl].astype(np.float64)
             img += rng.randn(size, size, 3) * noise

@@ -169,6 +169,12 @@ class Experiment:
             shuffle=False, drop_last=False, seed=cfg.random_seed,
             process_index=jax.process_index(),
             process_count=jax.process_count(), workers=cfg.num_workers)
+        if not cfg.test_only and len(self.train_loader) == 0:
+            raise ValueError(
+                f"train loader is empty ({len(self.train_dst)} filtered "
+                f"images, batch size {self.local_batch}, drop_last) — "
+                "lower --batch_size, add data, or check the task's "
+                "disjoint/--overlap filtering")
         self.total_iters = cfg.epochs * max(len(self.train_loader), 1)
 
         self.model = make_model(cfg)
@@ -425,6 +431,7 @@ class Experiment:
             if profile_dir and epoch == 0:
                 jax.profiler.start_trace(profile_dir)
             m = self.train_epoch(epoch)
+            self.last_train_metrics = m
             if profile_dir and epoch == 0:
                 jax.profiler.stop_trace()
             self.logger.info(

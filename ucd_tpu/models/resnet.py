@@ -192,7 +192,7 @@ class ResNet(nn.Module):
     output_stride: int = 16
     dtype: Any = jnp.float32
     remat: bool = False
-    stem_s2d: bool = True   # space-to-depth packed stem conv (same params)
+    stem_s2d: bool = False  # space-to-depth packed stem conv (same params)
 
     @property
     def out_channels(self) -> int:
@@ -239,7 +239,7 @@ class ResNet(nn.Module):
 
 
 def make_backbone(name: str, output_stride: int, dtype=jnp.float32,
-                  remat: bool = False, stem_s2d: bool = True) -> ResNet:
+                  remat: bool = False, stem_s2d: bool = False) -> ResNet:
     structure, bottleneck = STRUCTURES[name]
     return ResNet(structure=structure, bottleneck=bottleneck,
                   output_stride=output_stride, dtype=dtype, remat=remat,

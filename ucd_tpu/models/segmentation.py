@@ -55,7 +55,7 @@ class IncrementalSegmentationModel(nn.Module):
     dtype: Any = jnp.float32
     upsample_dtype: Any = jnp.float32
     remat: bool = False
-    stem_s2d: bool = True
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, fix_bn: bool = False):
@@ -124,7 +124,7 @@ def make_model(cfg, classes: Sequence[int] | None = None) -> IncrementalSegmenta
         dtype=dtype,
         upsample_dtype=up_dtype,
         remat=cfg.remat,
-        stem_s2d=getattr(cfg, "stem_s2d", True),
+        stem_s2d=getattr(cfg, "stem_s2d", False),
     )
 
 
