@@ -247,6 +247,26 @@ def main():
         m = exp.train_epoch(1)                   # measured
         exp_img_per_s = m["images_per_s"]
 
+    # SERVING throughput: pure inference (forward + argmax prediction) on
+    # the trained-step model — the deployment path (engine/predictor.py
+    # without TTA). Same batch/size/dtype as the training headline.
+    infer_img_per_s = None
+    if os.environ.get("BENCH_INFER", "1") == "1":
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        @jax.jit
+        def infer_step(variables, images):
+            logits, _ = model.apply(variables, images, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        pred = infer_step(variables, batch_data["image"])  # compile
+        np.asarray(pred[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            pred = infer_step(variables, batch_data["image"])
+        np.asarray(pred[0, 0, 0])                # force the chain
+        infer_img_per_s = batch * steps / (time.perf_counter() - t0)
+
     out = {
         "metric": "ucd_train_images_per_sec_per_chip",
         "value": round(img_per_s, 2),
@@ -258,6 +278,8 @@ def main():
         out["pallas_parity_grad_relerr"] = float(f"{pallas_grad_err:.2e}")
     if exp_img_per_s is not None:
         out["experiment_loop_images_per_s"] = round(exp_img_per_s, 2)
+    if infer_img_per_s is not None:
+        out["inference_images_per_s"] = round(infer_img_per_s, 2)
     if step_flops > 0:
         tflops_per_s = step_flops / (dt / steps) / 1e12
         out["model_tflops_per_s"] = round(tflops_per_s, 1)
