@@ -36,6 +36,26 @@ def test_cli_parse_new_flags():
     assert args.tta
 
 
+def test_torch_launcher_compat_flags():
+    """--local_rank and --opt_level (torch.distributed.launch / apex AMP
+    plumbing, reference argparser.py:199 + run.py:196-201) parse for drop-in
+    script compatibility: local_rank is ignored, opt_level maps to the dtype
+    policy, and an explicit --dtype wins."""
+    base = ["train", "--dataset", "voc", "--task", "19-1"]
+    cfg = config_from_args(build_parser().parse_args(
+        base + ["--local_rank", "0", "--opt_level", "O0"]))
+    assert cfg.dtype == "float32"
+    cfg = config_from_args(build_parser().parse_args(
+        base + ["--opt_level", "O1"]))
+    assert cfg.dtype == "bfloat16"
+    cfg = config_from_args(build_parser().parse_args(
+        base + ["--opt_level", "O0", "--dtype", "bfloat16"]))
+    assert cfg.dtype == "bfloat16"
+    # defaults unchanged when neither flag is passed
+    assert config_from_args(build_parser().parse_args(base)).dtype == \
+        "bfloat16"
+
+
 def test_num_classes_override():
     cfg = config.make_config(dataset="voc", task="19-1",
                              num_classes_override=42)

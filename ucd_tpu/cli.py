@@ -74,7 +74,22 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    choices=["iabn_sync", "iabn", "abn", "std"])
     p.add_argument("--pooling", type=int, default=32)
     p.add_argument("--dtype", choices=["bfloat16", "float32"],
-                   default="bfloat16")
+                   default=None,
+                   help="compute dtype (default bfloat16; an explicit value "
+                        "overrides --opt_level)")
+    # apex AMP drop-in compat (reference argparser.py:199, run.py:196-201):
+    # O0 = pure fp32, O1-O3 = mixed precision -> bf16 on TPU. No loss
+    # scaling is needed in bf16 (same exponent range as fp32).
+    p.add_argument("--opt_level", choices=["O0", "O1", "O2", "O3"],
+                   default=None,
+                   help="apex opt_level compat: O0 -> float32, "
+                        "O1/O2/O3 -> bfloat16")
+    # torch.distributed.launch plumbing: accepted for drop-in script compat,
+    # ignored (under SPMD there is no per-device process; use --coordinator/
+    # --process_id for real multi-process launches)
+    p.add_argument("--local_rank", type=int, default=None,
+                   help="accepted and ignored (torch.distributed.launch "
+                        "compat)")
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--nan_guard", action="store_true", default=False)
 
@@ -155,6 +170,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
+    dtype = args.dtype
+    if dtype is None:
+        dtype = "float32" if args.opt_level == "O0" else "bfloat16"
     cfg = Config(
         dataset=args.dataset, task=args.task, step=args.step,
         overlap=args.overlap, masking=not args.no_mask,
@@ -170,7 +188,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         backbone=args.backbone, output_stride=args.output_stride,
         pretrained=not args.no_pretrained,
         pretrained_path=args.pretrained_path, norm_act=args.norm_act,
-        pooling=args.pooling, dtype=args.dtype, remat=args.remat,
+        pooling=args.pooling, dtype=dtype, remat=args.remat,
         nan_guard=args.nan_guard,
         bce=args.bce, unce=args.unce, unkd=args.unkd, alpha=args.alpha,
         loss_kd=args.loss_kd, loss_de=args.loss_de,
