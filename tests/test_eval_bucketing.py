@@ -45,7 +45,9 @@ def _make_exp(tmp_path, multiple):
         eval_bucket_multiple=multiple, num_workers=1, visualize=False,
         logdir=str(tmp_path / f"logs{multiple}"),
         ckpt_dir=str(tmp_path / f"ckpt{multiple}"))
-    bt = VariableSynthetic([(32, 32)] * 8, seed=3)
+    # classes 0..19 only: labels containing the future class 20 would be
+    # dropped by 19-1 disjoint filtering and trip the empty-loader guard
+    bt = VariableSynthetic([(32, 32)] * 8, n_classes=20, seed=3)
     bv = VariableSynthetic(SIZES, seed=7)
     return Experiment(cfg, base_train=bt, base_val=bv)
 

@@ -74,7 +74,10 @@ def test_two_step_experiment(tmp_path, bases):
 
 
 def test_missing_step_ckpt_raises(tmp_path, bases):
-    base_train, base_val = bases
+    _, base_val = bases
+    # step-1 data must contain the new class 20, otherwise the empty-loader
+    # guard fires before the donor restore is attempted
+    base_train = SyntheticSegmentation(n=24, size=SIZE, n_classes=21, seed=2)
     cfg1 = make_cfg(tmp_path, step=1, method="UCD")
     with pytest.raises(FileNotFoundError):
         Experiment(cfg1, base_train=base_train, base_val=base_val)

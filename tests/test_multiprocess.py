@@ -77,3 +77,12 @@ def test_two_process_matches_single_process(tmp_path):
     # batch gradient) and eval metrics agree
     assert abs(r0["cls0_sum"] - rs["cls0_sum"]) < 1e-4
     assert abs(r0["val_miou"] - rs["val_miou"]) < 1e-5
+    # the all-process orbax save on the shared ckpt dir completed (a
+    # rank-0-only save deadlocks in orbax's sync_global_processes barrier)
+    # and the checkpoint restores
+    assert r0["ckpt_ok"] and r1["ckpt_ok"] and rs["ckpt_ok"]
+    # crop_val=False is refused with a clear error under process_count>1
+    assert r0["crop_val_guard"] and r1["crop_val_guard"]
+    # eval sample count is the GLOBAL count (4 val images), not the local
+    # shard's, in both topologies
+    assert r0["val_total_samples"] == rs["val_total_samples"] == 4, (r0, rs)

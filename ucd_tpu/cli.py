@@ -251,12 +251,15 @@ def _run_one_step(cfg: Config, profile_dir=None, synthetic: int = 0,
 
     base_train, base_val = _make_bases(cfg, synthetic, learnable)
     exp = Experiment(cfg, base_train=base_train, base_val=base_val)
-    exp.run(profile_dir=profile_dir)
-    score = exp.predict_test() if tta else exp.final_test()
-    if cfg.sample_num > 0:
-        out = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}/samples"
-        n = exp.visualize(out, cfg.sample_num)
-        print(f"wrote {n} visualization panels to {out}")
+    try:
+        exp.run(profile_dir=profile_dir)
+        score = exp.predict_test() if tta else exp.final_test()
+        if cfg.sample_num > 0:
+            out = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}/samples"
+            n = exp.visualize(out, cfg.sample_num)
+            print(f"wrote {n} visualization panels to {out}")
+    finally:
+        exp.close()
     csv_path = f"{cfg.logdir}/{cfg.task_name}/{cfg.name}/results.csv"
     write_step_csv(csv_path, cfg.step, score["Class IoU"])
     print(json.dumps({"step": cfg.step, "mean_iou": score["Mean IoU"]}))

@@ -43,8 +43,16 @@ class DataLoader:
 
     def _get_pool(self):
         if self.workers > 1 and self._pool is None:
+            import weakref
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(self.workers)
+            # nothing in a long multi-step run is guaranteed to call
+            # close(); tie the pool's lifetime to the loader's so dropped
+            # loaders (e.g. one Experiment per incremental step) don't
+            # accumulate idle worker threads. The finalizer captures the
+            # pool, not self, so it cannot keep the loader alive.
+            weakref.finalize(self, self._pool.shutdown, wait=False,
+                             cancel_futures=True)
         return self._pool
 
     def close(self):

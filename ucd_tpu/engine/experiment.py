@@ -33,7 +33,7 @@ from ..data.transforms import train_transform, val_transform
 from ..models import make_model
 from ..ops import regularizers as R
 from ..parallel import batch_sharding, make_mesh, make_mesh_for_batch, \
-    replicated
+    make_mesh_multiprocess, replicated
 from ..parallel.distributed import local_batch_size
 from ..utils.viz import compose_sample_png
 from . import checkpoint as ckpt_lib
@@ -135,13 +135,23 @@ class Experiment:
         cfg.validate()
         _enable_compile_cache()
         self.cfg = cfg
-        # multi-process (multi-host) runs span every process's devices; the
-        # per-batch device-count trim only applies single-process, where the
-        # mesh is free to shrink (reference run.py:117-124 NCCL world)
+        # multi-process (multi-host) runs span every process's devices,
+        # trimmed equally per host so the global batch divides the device
+        # count (reference run.py:117-124 NCCL world); single-process meshes
+        # shrink freely per batch
         if mesh is not None:
             self.mesh = mesh
         elif jax.process_count() > 1:
-            self.mesh = make_mesh()
+            self.mesh = make_mesh_multiprocess(cfg.batch_size)
+            if not cfg.crop_val and not cfg.test_only:
+                # full-size eval feeds per-image shapes: local shards on
+                # different hosts would imply conflicting global array
+                # shapes in _put_batch, compiling divergent SPMD programs
+                raise ValueError(
+                    "crop_val=False (full-size eval) is not supported in "
+                    "multi-process runs: per-host images have different "
+                    "shapes and cannot assemble one global batch. Use "
+                    "--crop_val, or eval single-process.")
         else:
             self.mesh = make_mesh_for_batch(cfg.batch_size)
         self.rep = replicated(self.mesh)
@@ -375,6 +385,12 @@ class Experiment:
         # np.random.choice sample_ids — not the stream head, which would show
         # identical early-class images every epoch (ADVICE.md round 2)
         want = cfg.sample_num if cfg.visualize else 0
+        if want > 0 and jax.process_count() > 1:
+            # preds is a global array whose shards live on other hosts;
+            # per-sample indexing would raise 'not fully addressable'.
+            # Sample panels are a single-host observability feature.
+            self.logger.info("sample logging disabled in multi-process runs")
+            want = 0
         sample_ids: set = set()
         if want > 0:
             srng = np.random.default_rng(cfg.random_seed)
@@ -406,21 +422,28 @@ class Experiment:
         self.last_val_samples = [(img, lbl, np.asarray(pred))
                                  for img, lbl, pred in samples]
         self.last_confusion = np.asarray(hist)
+        if jax.process_count() > 1:
+            # the confusion matrix aggregates every host's pixels; make the
+            # sample count global too (local `seen` would undercount by ~pc)
+            from jax.experimental import multihost_utils
+            seen = int(np.sum(multihost_utils.process_allgather(
+                np.asarray(seen, np.int64))))
         res = results_from_confusion(self.last_confusion, total_samples=seen)
         return {k: v / max(n, 1) for k, v in sums.items()}, res
 
     def save(self, epoch: int, score: float):
         cfg = self.cfg
-        if jax.process_index() != 0:
-            # rank-0 checkpoint write (reference run.py:317-322); state is
-            # replicated so process 0 holds every leaf
-            return
+        # EVERY process must enter the orbax save: Checkpointer.save opens
+        # with a sync_global_processes barrier, so a rank-0-only call (the
+        # reference's run.py:317-322 pattern) deadlocks a multi-host run.
+        # Orbax itself writes each (replicated) leaf from process 0 only.
         os.makedirs(cfg.ckpt_dir, exist_ok=True)
         reg_saved = R.export_state(self.state.reg_state, self.state.params)
         ckpt_lib.save_checkpoint(cfg.ckpt_path(), self.state, epoch, score,
                                  reg_saved=reg_saved,
                                  reg_full=R.export_full(self.state.reg_state))
-        self.logger.info("[!] Checkpoint saved.")
+        if jax.process_index() == 0:
+            self.logger.info("[!] Checkpoint saved.")
 
     def run(self, profile_dir: Optional[str] = None) -> dict:
         """Full train/val loop + final test (reference run.py:286-401)."""
@@ -495,6 +518,9 @@ class Experiment:
             from PIL import Image
         except ImportError:  # pragma: no cover
             return 0
+        if jax.process_index() != 0:
+            # host-side PNG dumps: every process would write identical files
+            return 0
         os.makedirs(out_dir, exist_ok=True)
         cfg = self.cfg
         variables = {"params": self.state.params,
@@ -540,6 +566,13 @@ class Experiment:
                 if n >= max_images:
                     return n
         return n
+
+    def close(self):
+        """Release loader worker pools. A dropped Experiment's pools are
+        also reclaimed by GC (DataLoader ties the pool to its own lifetime),
+        so this is for deterministic teardown in long-lived processes."""
+        self.train_loader.close()
+        self.val_loader.close()
 
     def predict_test(self) -> dict:
         """TTA eval through engine.predictor.Predictor: multi-scale / flipped

@@ -287,13 +287,11 @@ def _pallas_bwd(tau, interpret, precision, compute_dtype, residuals, ct):
                      -ct / (jnp.maximum(num, 1.0) * n_active.astype(jnp.float32)),
                      0.0)
 
-    row1 = pl.BlockSpec((ta, 1), lambda i, j: (i, 0),
-                        memory_space=pltpu.VMEM)
     in_specs = [
         _anchor_spec(ta, D), _anchor_spec(ta, Cp), _row_spec(ta),
         _row_spec(ta), _row_spec(ta), _contrast_spec(tc, D),
         _contrast_spec(tc, Cp), _col_spec(tc), _col_spec(tc), _col_spec(tc),
-        row1, row1, row1,
+        _row_spec(ta), _row_spec(ta), _row_spec(ta),
     ]
     da = pl.pallas_call(
         functools.partial(_bwd_kernel, tau=tau, precision=precision),

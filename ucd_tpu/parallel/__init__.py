@@ -7,6 +7,7 @@ from .mesh import (
     make_mesh,
     make_mesh_2d,
     make_mesh_for_batch,
+    make_mesh_multiprocess,
     replicate,
     replicated,
     shard_batch,
@@ -14,5 +15,5 @@ from .mesh import (
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "channel_sharding",
            "local_batch_size", "make_mesh", "make_mesh_2d",
-           "make_mesh_for_batch", "maybe_initialize", "replicate",
+           "make_mesh_for_batch", "make_mesh_multiprocess", "maybe_initialize", "replicate",
            "replicated", "shard_batch"]

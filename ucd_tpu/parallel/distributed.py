@@ -24,6 +24,10 @@ Launch (mirrors torch.distributed.launch, one process per host):
 or pass --coordinator/--num_processes/--process_id. On Cloud TPU pods,
 `UCD_TPU_DISTRIBUTED=1` (or --distributed) lets JAX auto-detect everything
 from the TPU metadata service.
+
+Multi-process checkpointing assumes --ckpt_dir is on SHARED storage (every
+host calls the orbax save — its internal barriers require that — and
+process 0 writes the data).
 """
 
 from __future__ import annotations
@@ -60,6 +64,16 @@ def maybe_initialize(coordinator: Optional[str] = None,
 
     import jax
     if coordinator is not None and num_processes and num_processes > 1:
+        if process_id is None:
+            # jax.distributed.initialize(process_id=None) only works where
+            # the environment is auto-detectable (TPU pods, SLURM); on plain
+            # hosts it fails with an unrelated-looking error. Name the
+            # missing piece instead.
+            raise ValueError(
+                "multi-process launch needs a process id: pass --process_id "
+                "(or set UCD_TPU_PROCESS_ID) alongside --coordinator/"
+                "--num_processes, or use --distributed for auto-detection "
+                "on TPU pods")
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)

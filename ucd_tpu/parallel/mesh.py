@@ -38,6 +38,25 @@ def make_mesh_for_batch(global_batch: int, n_devices: Optional[int] = None) -> M
     return make_mesh(n)
 
 
+def make_mesh_multiprocess(global_batch: int) -> Mesh:
+    """Multi-process data mesh: every process contributes the same number of
+    local devices, trimmed (equally on every host) to the largest count whose
+    global total divides the batch. A full-device mesh with an indivisible
+    batch would otherwise surface as a cryptic jit sharding error at the
+    first step ('dimension size 24 partitioned 16 times')."""
+    pc = jax.process_count()
+    by_proc: dict[int, list] = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, []).append(d)
+    per_host = min(len(v) for v in by_proc.values())
+    k = per_host
+    while k > 1 and global_batch % (k * pc) != 0:
+        k -= 1
+    # k=1 always divides: local_batch_size() already requires batch % pc == 0
+    devices = [d for p in sorted(by_proc) for d in by_proc[p][:k]]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
