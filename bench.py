@@ -81,6 +81,38 @@ def check_pallas_parity_on_device():
     return loss_err, grad_err
 
 
+def check_fused_loss_parity_on_device():
+    """Mosaic-compiled fused upsample+CE/KD kernel (ops/fused_loss.py) vs
+    the dense f32 composition, on the bench backend, at the bench dataset's
+    class scale. Returns (loss_rel_err, grad_rel_err)."""
+    import jax
+    import jax.numpy as jnp
+    from ucd_tpu.ops.fused_loss import fused_ce_kd, fused_ce_kd_dense
+
+    rng = np.random.RandomState(11)
+    ade = os.environ.get("BENCH_DATASET", "voc") == "ade"
+    C, Co = (151, 101) if ade else (21, 16)
+    B, h, w, H, W = 2, 8, 8, 128, 128
+    z = jnp.asarray(rng.randn(B, h, w, C), jnp.float32)
+    t = jnp.asarray(rng.randn(B, h, w, Co), jnp.float32)
+    lab = jnp.asarray(rng.randint(0, C, (B, H, W)), jnp.int32)
+    kw = dict(old_cl=Co, ce_mode="unce", kd_mode="unkd", alpha=1.0)
+
+    def tot(fn):
+        return lambda zz: sum(fn(zz, lab, t, **kw))
+
+    lf, gf = jax.jit(jax.value_and_grad(tot(
+        lambda *a, **k: fused_ce_kd(*a, interpret=False, **k))))(z)
+    ld, gd = jax.jit(jax.value_and_grad(tot(fused_ce_kd_dense)))(z)
+    loss_err = abs(float(lf) - float(ld)) / max(abs(float(ld)), 1e-12)
+    gd64 = np.asarray(gd, np.float64)
+    grad_err = float(np.linalg.norm(np.asarray(gf, np.float64) - gd64)
+                     / max(np.linalg.norm(gd64), 1e-12))
+    assert loss_err <= 1e-4, f"fused loss mismatch on device: {lf} vs {ld}"
+    assert grad_err <= 1e-4, f"fused grad mismatch on device: {grad_err}"
+    return loss_err, grad_err
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -101,8 +133,10 @@ def main():
     # numerically validate the Mosaic-compiled kernel on this backend before
     # timing anything (skippable for quick iterations via BENCH_PARITY=0)
     pallas_loss_err = pallas_grad_err = None
+    fused_loss_err = fused_grad_err = None
     if os.environ.get("BENCH_PARITY", "1") == "1":
         pallas_loss_err, pallas_grad_err = check_pallas_parity_on_device()
+        fused_loss_err, fused_grad_err = check_fused_loss_parity_on_device()
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
@@ -127,6 +161,7 @@ def main():
         bf16_norm=os.environ.get("BENCH_BF16_NORM", "0") == "1",
         stem_s2d=os.environ.get("BENCH_S2D", "0") == "1",
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        fused_loss=os.environ.get("BENCH_FUSED", "1") == "1",
     )
     cfg0 = config.make_config(dataset=dataset, task=task, step=0,
                               backbone=backbone, crop_size=size,
@@ -276,6 +311,9 @@ def main():
     if pallas_loss_err is not None:
         out["pallas_parity_loss_relerr"] = float(f"{pallas_loss_err:.2e}")
         out["pallas_parity_grad_relerr"] = float(f"{pallas_grad_err:.2e}")
+    if fused_loss_err is not None:
+        out["fused_loss_parity_loss_relerr"] = float(f"{fused_loss_err:.2e}")
+        out["fused_loss_parity_grad_relerr"] = float(f"{fused_grad_err:.2e}")
     if exp_img_per_s is not None:
         out["experiment_loop_images_per_s"] = round(exp_img_per_s, 2)
     if infer_img_per_s is not None:

@@ -104,6 +104,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--contrastive_capacity", type=int,
                    default=defaults["contrastive_capacity"])
     p.add_argument("--no_pallas", action="store_true", default=False)
+    p.add_argument("--no_fused_loss", action="store_true", default=False,
+                   help="disable the fused upsample+CE/KD kernel (dense "
+                        "full-resolution loss path, reference semantics)")
     p.add_argument("--icarl", action="store_true", default=False)
     p.add_argument("--icarl_importance", type=float, default=1.0)
     p.add_argument("--icarl_disjoint", action="store_true", default=False)
@@ -195,6 +198,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         contrastive=args.contrastive, temperature=args.temperature,
         contrastive_capacity=args.contrastive_capacity,
         use_pallas_contrastive=not args.no_pallas,
+        fused_loss=not args.no_fused_loss,
         icarl=args.icarl, icarl_importance=args.icarl_importance,
         icarl_disjoint=args.icarl_disjoint, icarl_bkg=args.icarl_bkg,
         init_balanced=args.init_balanced,

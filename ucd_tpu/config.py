@@ -122,6 +122,15 @@ class Config:
     nan_guard: bool = False        # skip updates with non-finite grads
                                    # (optax.apply_if_finite; NEW vs reference)
     use_pallas_contrastive: bool = True
+    fused_loss: bool = True        # fused upsample+CE/KD Pallas kernel
+                                   # (ops/fused_loss.py): the full-res loss
+                                   # chain never materializes the upsampled
+                                   # (B,H,W,C) logits. Applies to the
+                                   # ce/unce criterion and kd/unkd terms;
+                                   # bce/icarl configs use the dense path.
+                                   # Interpolation runs in f32 (slightly
+                                   # MORE precise than the bf16_upsample
+                                   # dense path it replaces).
 
     # eval / logging / ckpt
     crop_val: bool = True

@@ -29,6 +29,7 @@ from flax import struct
 
 from ..config import Config
 from ..models.segmentation import trainable_mask
+from ..ops import fused_loss as FL
 from ..ops import losses as L
 from ..ops import regularizers as R
 from ..ops.contrastive import ucd_contrastive_loss
@@ -89,8 +90,31 @@ def compute_train_losses(cfg: Config, outputs, feats, labels,
     icarl_combined = cfg.icarl and not cfg.icarl_disjoint and has_old
     icarl_only_dist = cfg.icarl and cfg.icarl_disjoint and has_old
 
+    # fused upsample+CE+KD path: the criterion and the KD term are computed
+    # by ops.fused_loss straight from the LOW-RES logits (feats['sem']) —
+    # the (B,H,W,C) upsampled tensors are never materialized and `outputs`
+    # goes unused, so XLA dead-code-eliminates the model's bilinear upsample
+    # from the train step entirely (round-3 ADE trace: ~60 ms/step of the
+    # full-res loss chain at C=151). bce/icarl configs keep the dense path.
+    ce_mode = "unce" if (cfg.unce and cfg.old_classes != 0) else "ce"
+    kd_on = cfg.loss_kd > 0 and has_old
+    kd_mode = ("unkd" if cfg.unkd else "kd") if kd_on else "none"
+    fused_kd = None
+    use_fused = (getattr(cfg, "fused_loss", True)
+                 and not (cfg.bce or cfg.icarl)
+                 and FL.supported(feats["sem"].shape, labels.shape,
+                                  ce_mode, kd_mode))
+
     # main criterion (reference train.py:34-40)
-    if icarl_only_dist:
+    if use_fused:
+        loss, kd_raw = FL.fused_ce_kd(
+            feats["sem"], labels,
+            feats_old["sem"] if kd_on else None,
+            old_cl=cfg.old_classes, ce_mode=ce_mode, kd_mode=kd_mode,
+            alpha=cfg.alpha)
+        if kd_on:
+            fused_kd = cfg.loss_kd * kd_raw
+    elif icarl_only_dist:
         loss = L.icarl_loss(outputs, labels,
                             jax.nn.sigmoid(outputs_old.astype(jnp.float32)),
                             bkg=cfg.icarl_bkg)
@@ -137,7 +161,9 @@ def compute_train_losses(cfg: Config, outputs, feats, labels,
 
     # knowledge distillation on logits (train.py:131-133)
     lkd = zero
-    if cfg.loss_kd > 0 and has_old:
+    if fused_kd is not None:
+        lkd = fused_kd
+    elif cfg.loss_kd > 0 and has_old:
         kd_fn = (L.unbiased_knowledge_distillation if cfg.unkd
                  else L.knowledge_distillation)
         lkd = cfg.loss_kd * kd_fn(outputs, outputs_old, alpha=cfg.alpha)

@@ -9,6 +9,7 @@ from .contrastive import (
     ucd_contrastive_loss,
 )
 from .contrastive_v1 import pixel_con_loss_v1, sup_con_loss
+from .fused_loss import fused_ce_kd, fused_ce_kd_dense
 from .pallas_contrastive import pixel_contrastive_loss_pallas
 
 __all__ = [
@@ -16,5 +17,5 @@ __all__ = [
     "ContrastiveBatch", "build_contrastive_batch", "compact_batch",
     "downsample_labels", "pixel_contrastive_loss", "ucd_contrastive_loss",
     "pixel_con_loss_v1", "sup_con_loss",
-    "pixel_contrastive_loss_pallas",
+    "pixel_contrastive_loss_pallas", "fused_ce_kd", "fused_ce_kd_dense",
 ]
