@@ -110,6 +110,23 @@ def check_fused_loss_parity_on_device():
                      / max(np.linalg.norm(gd64), 1e-12))
     assert loss_err <= 1e-4, f"fused loss mismatch on device: {lf} vs {ld}"
     assert grad_err <= 1e-4, f"fused grad mismatch on device: {grad_err}"
+
+    # fused upsample+argmax (eval/serving kernel): predictions must match
+    # the dense composition except at near-exact ties
+    from ucd_tpu.models.segmentation import resize_bilinear
+    from ucd_tpu.ops.fused_eval import fused_argmax, fused_argmax_dense
+    got = np.asarray(jax.jit(
+        lambda zz: fused_argmax(zz, (H, W), interpret=False))(z))
+    want = np.asarray(jax.jit(
+        lambda zz: fused_argmax_dense(zz, (H, W)))(z))
+    mism = got != want
+    if mism.any():
+        up = np.asarray(resize_bilinear(z, (H, W), dtype=jnp.float32))
+        top2 = np.sort(up, axis=-1)
+        gap = (top2[..., -1] - top2[..., -2])[mism]
+        assert gap.max() < 1e-4 and mism.mean() < 1e-3, (
+            f"fused argmax mismatch on device: {mism.sum()} px, "
+            f"max gap {gap.max()}")
     return loss_err, grad_err
 
 
@@ -289,9 +306,16 @@ def main():
     if os.environ.get("BENCH_INFER", "1") == "1":
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+        fused_infer = os.environ.get("BENCH_FUSED", "1") == "1"
+
         @jax.jit
         def infer_step(variables, images):
-            logits, _ = model.apply(variables, images, train=False)
+            logits, feats = model.apply(variables, images, train=False)
+            if fused_infer:
+                # fused upsample+argmax kernel: the (B,H,W,C) upsampled
+                # logits never exist (and the model-side upsample is DCE'd)
+                from ucd_tpu.ops.fused_eval import fused_argmax
+                return fused_argmax(feats["sem"], images.shape[1:3])
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         pred = infer_step(variables, batch_data["image"])  # compile
@@ -301,6 +325,29 @@ def main():
             pred = infer_step(variables, batch_data["image"])
         np.asarray(pred[0, 0, 0])                # force the chain
         infer_img_per_s = batch * steps / (time.perf_counter() - t0)
+
+    # VALIDATION throughput: the jitted eval step (new-model + donor
+    # forward, criterion/KD logging losses, argmax prediction, confusion-
+    # matrix update) — the per-epoch validate gate of the product loop
+    # (engine/train.py make_eval_step). With fused_loss on, the losses and
+    # the argmax both run straight from low-res logits.
+    eval_img_per_s = None
+    if os.environ.get("BENCH_EVAL", "1") == "1":
+        from ucd_tpu.engine.metrics import empty_confusion
+        from ucd_tpu.engine.train import make_eval_step
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        eval_step = jax.jit(make_eval_step(cfg, model, model_old))
+        hist = empty_confusion(cfg.tot_classes)
+        args = (variables, batch_data, hist) + (
+            (old_vars,) if model_old is not None else ())
+        h, losses, _ = eval_step(*args)          # compile + warmup
+        float(losses["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            h, losses, _ = eval_step(*args)
+        float(losses["loss"])                    # force the chain
+        eval_img_per_s = batch * steps / (time.perf_counter() - t0)
 
     out = {
         "metric": "ucd_train_images_per_sec_per_chip",
@@ -316,6 +363,8 @@ def main():
         out["fused_loss_parity_grad_relerr"] = float(f"{fused_grad_err:.2e}")
     if exp_img_per_s is not None:
         out["experiment_loop_images_per_s"] = round(exp_img_per_s, 2)
+    if eval_img_per_s is not None:
+        out["eval_images_per_s"] = round(eval_img_per_s, 2)
     if infer_img_per_s is not None:
         out["inference_images_per_s"] = round(infer_img_per_s, 2)
     if step_flops > 0:

@@ -45,6 +45,7 @@ def build_step():
         use_pallas_contrastive=os.environ.get("BENCH_PALLAS", "1") == "1",
         bf16_upsample=os.environ.get("BENCH_BF16_UP", "1") == "1",
         bf16_norm=os.environ.get("BENCH_BF16_NORM", "0") == "1",
+        fused_loss=os.environ.get("BENCH_FUSED", "1") == "1",
     )
     cfg0 = config.make_config(dataset=dataset, task=task, step=0,
                               backbone=backbone, crop_size=size,

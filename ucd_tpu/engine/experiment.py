@@ -525,13 +525,22 @@ class Experiment:
         cfg = self.cfg
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
-        fwd = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
+        from ..ops import fused_eval as FE
+
+        def _fwd(v, x):
+            logits, feats = self.model.apply(v, x, train=False)
+            if getattr(cfg, "fused_loss", True) and FE.supported(
+                    feats["sem"].shape, x.shape[1:3]):
+                return FE.fused_argmax(feats["sem"], x.shape[1:3]), feats
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), feats
+
+        fwd = jax.jit(_fwd)
         n = 0
         loader = DataLoader(self.test_dst, cfg.batch_size, shuffle=False,
                             drop_last=False, seed=cfg.random_seed)
         for batch in loader.epoch(0):
-            logits, feats = fwd(variables, jnp.asarray(batch["image"]))
-            preds = np.asarray(jnp.argmax(logits, axis=-1))
+            preds, feats = fwd(variables, jnp.asarray(batch["image"]))
+            preds = np.asarray(preds)
             att = attention_map(np.asarray(feats["body"]),
                                 batch["image"].shape[1:3])
             for j in range(preds.shape[0]):
@@ -586,7 +595,8 @@ class Experiment:
                      "batch_stats": self.state.batch_stats}
         predictor = Predictor(self.model, variables,
                               fusion_mode=cfg.fusion_mode,
-                              flip=cfg.test_flip, scales=cfg.test_scales)
+                              flip=cfg.test_flip, scales=cfg.test_scales,
+                              fused=getattr(cfg, "fused_loss", True))
         hist = empty_confusion(cfg.tot_classes)
         loader = DataLoader(self.test_dst,
                             cfg.batch_size if cfg.crop_val else 1,
@@ -594,7 +604,7 @@ class Experiment:
                             seed=cfg.random_seed)
         n = 0
         for batch in loader.epoch(0):
-            preds, _ = predictor(jnp.asarray(batch["image"]))
+            preds = predictor.predict_labels(jnp.asarray(batch["image"]))
             hist = confusion_matrix_update(
                 hist, jnp.asarray(batch["label"]), preds, cfg.tot_classes)
             n += batch["label"].shape[0]

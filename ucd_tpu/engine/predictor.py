@@ -19,11 +19,13 @@ import jax
 import jax.numpy as jnp
 
 from ..models.segmentation import resize_bilinear
+from ..ops import fused_eval as FE
 
 
 class Predictor:
     def __init__(self, model, variables, fusion_mode: str = "mean",
-                 flip: bool = False, scales: Sequence[float] = (1.0,)):
+                 flip: bool = False, scales: Sequence[float] = (1.0,),
+                 fused: bool = True):
         assert fusion_mode in ("mean", "voting", "max")
         self.model = model
         self.variables = variables
@@ -32,7 +34,9 @@ class Predictor:
         # normalize a bare float/int to a 1-view pyramid
         self.scales = ((float(scales),) if isinstance(scales, (int, float))
                        else tuple(float(s) for s in scales))
+        self.fused = fused
         self._fwd = jax.jit(self._forward)
+        self._fwd_labels = jax.jit(self._labels_only)
 
     def _forward(self, variables, images):
         n_views_logits = []
@@ -65,6 +69,25 @@ class Predictor:
         votes = sum(jax.nn.one_hot(jnp.argmax(p, axis=-1), n_classes)
                     for p in probs)
         return jnp.argmax(votes, axis=-1), votes / len(probs)
+
+    def _labels_only(self, variables, images):
+        """Argmax-only deployment path. With a single view every fusion
+        mode reduces to argmax(logits), so the fused upsample+argmax kernel
+        (ops/fused_eval.py) applies and the full-res logits are never
+        materialized; TTA configurations fall back to the full fusion."""
+        single_view = self.scales == (1.0,) and not self.flip
+        if single_view and self.fused:
+            _, feats = self.model.apply(variables, images, train=False)
+            if FE.supported(feats["sem"].shape, images.shape[1:3]):
+                return FE.fused_argmax(feats["sem"], images.shape[1:3])
+        preds, _ = self._forward(variables, images)
+        return preds
+
+    def predict_labels(self, images):
+        """(B,H,W) int32 predictions only — the serving fast path (the
+        full-res probability tensor is neither returned nor materialized
+        for single-view configurations)."""
+        return self._fwd_labels(self.variables, images)
 
     def __call__(self, images):
         """images: (B,H,W,3) normalized float32. Returns (preds, fused)."""

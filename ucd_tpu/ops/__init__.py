@@ -9,6 +9,7 @@ from .contrastive import (
     ucd_contrastive_loss,
 )
 from .contrastive_v1 import pixel_con_loss_v1, sup_con_loss
+from .fused_eval import fused_argmax, fused_argmax_dense
 from .fused_loss import fused_ce_kd, fused_ce_kd_dense
 from .pallas_contrastive import pixel_contrastive_loss_pallas
 
@@ -18,4 +19,5 @@ __all__ = [
     "downsample_labels", "pixel_contrastive_loss", "ucd_contrastive_loss",
     "pixel_con_loss_v1", "sup_con_loss",
     "pixel_contrastive_loss_pallas", "fused_ce_kd", "fused_ce_kd_dense",
+    "fused_argmax", "fused_argmax_dense",
 ]

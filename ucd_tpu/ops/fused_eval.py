@@ -1,0 +1,117 @@
+"""Fused bilinear-upsample + argmax Pallas kernel (eval / serving path).
+
+The reference's eval and test entries argmax full-resolution logits
+(train.py:215 `outputs.max(dim=1)`, test.py prediction dumps) produced by
+the model's bilinear upsample (segmentation_module.py:133). On TPU that
+materializes the (B, H, W, C) upsampled logits — 176 MB at VOC's C=21 /
+batch 16 / 512², 1.3 GB at ADE's C=151 — written to and re-read from HBM
+just to reduce them to a (B, H, W) int32 prediction.
+
+This kernel reuses the fused-loss tile machinery (ops/fused_loss.py): per
+(batch, 8-row output tile) it expands width with one small MXU dot against
+the precomputed interpolation matrix, lerps the 2-3 source rows, and takes
+the class argmax in VMEM — the upsampled logits never exist, and callers
+that drop the model's `outputs` let XLA dead-code-eliminate the model-side
+upsample too.
+
+Semantics match `jnp.argmax(resize_bilinear(logits, (H, W)), axis=-1)`
+with f32 interpolation and first-occurrence tie-breaking; near-exact ties
+(top-2 gap at f32 rounding scale) may resolve differently from the dense
+composition because the summation order differs. Eval-only (no VJP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_loss import (
+    NEG,
+    _const_spec,
+    _on_tpu,
+    _pick_to,
+    _round_up,
+    _row_plan,
+    _row_specs,
+    _upsample_tile,
+    interp_matrix,
+)
+
+
+def _argmax_kernel(zA, zB, zC, w3, awt, out, *, C, To):
+    z = _upsample_tile(zA, zB, zC, w3, awt)                  # (To, Cp, Wp)
+    Cp, Wp = z.shape[1], z.shape[2]
+    ci = jax.lax.broadcasted_iota(jnp.int32, (To, Cp, Wp), 1)
+    zm = jnp.where(ci < C, z, NEG)
+    m = jnp.max(zm, axis=1, keepdims=True)
+    # first-occurrence tie-break, matching jnp.argmax
+    out[0, 0] = jnp.min(jnp.where(zm >= m, ci, Cp), axis=1).astype(jnp.int32)
+
+
+def supported(lowres_shape, out_hw) -> bool:
+    """Upsampling only (each output tile's source window stays at 3 rows)."""
+    _, h, w, _ = lowres_shape
+    H, W = int(out_hw[0]), int(out_hw[1])
+    return H >= h and W >= w
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "interpret"))
+def _fused_argmax(z, out_hw, interpret):
+    B, h, w, C = z.shape
+    H, W = out_hw
+    Cp = _round_up(C, 8)
+    Wp = _round_up(W, 128)
+    To = _pick_to(H, h, W, Cp, 0)
+    nT, Hp, W3 = _row_plan(H, h, To)
+
+    zt = jnp.transpose(z.astype(jnp.float32), (0, 1, 3, 2))
+    zt = jnp.pad(zt, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+    A = interp_matrix(W, w)
+    Ap = np.zeros((Wp, w), np.float32)
+    Ap[:W] = A
+    w3p = np.zeros((Hp, 128), np.float32)
+    w3p[:, :3] = W3
+    w3p = w3p.reshape(nT, To, 128)
+
+    rows = _row_specs(h, Cp, w, To, H)
+    in_specs = rows + [
+        pl.BlockSpec((1, To, 128), lambda b, t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _const_spec((w, Wp)),
+    ]
+    out_spec = pl.BlockSpec((1, 1, To, Wp), lambda b, t: (b, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_argmax_kernel, C=C, To=To)
+    preds = pl.pallas_call(
+        kern, grid=(B, nT), in_specs=in_specs, out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nT, To, Wp), jnp.int32),
+        interpret=interpret,
+    )(zt, zt, zt, jnp.asarray(w3p), jnp.asarray(Ap.T))
+    return preds.reshape(B, Hp, Wp)[:, :H, :W]
+
+
+def fused_argmax(logits_lr: jnp.ndarray, out_hw: Tuple[int, int], *,
+                 interpret: Optional[bool] = None) -> jnp.ndarray:
+    """(B, H, W) int32 argmax of the bilinearly-upsampled logits, fused.
+
+    Equivalent to `jnp.argmax(resize_bilinear(logits_lr, out_hw,
+    dtype=f32), axis=-1)` without materializing the upsampled tensor."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _fused_argmax(logits_lr, (int(out_hw[0]), int(out_hw[1])),
+                         bool(interpret))
+
+
+def fused_argmax_dense(logits_lr, out_hw):
+    """Dense composition oracle: f32 bilinear upsample + argmax."""
+    from ..models.segmentation import resize_bilinear
+
+    up = resize_bilinear(logits_lr, (int(out_hw[0]), int(out_hw[1])),
+                         dtype=jnp.float32)
+    return jnp.argmax(up, axis=-1).astype(jnp.int32)
