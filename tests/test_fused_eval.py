@@ -13,10 +13,11 @@ from ucd_tpu.ops.fused_eval import (fused_argmax, fused_argmax_dense,
                                     supported)
 
 
-def _check(z, H, W):
+def _check(z, H, W, gap_tol=1e-4, rate_tol=1e-3, **kw):
     """Fused vs dense argmax; mismatches allowed only at near-exact ties
-    (summation order differs between the tiled and dense interpolation)."""
-    got = np.asarray(fused_argmax(z, (H, W), interpret=True))
+    (summation order differs between the tiled and dense interpolation;
+    bf16 interpolation widens the tie window to bf16 rounding scale)."""
+    got = np.asarray(fused_argmax(z, (H, W), interpret=True, **kw))
     want = np.asarray(fused_argmax_dense(z, (H, W)))
     assert got.shape == want.shape == (z.shape[0], H, W)
     mism = got != want
@@ -24,9 +25,9 @@ def _check(z, H, W):
         up = np.asarray(resize_bilinear(z, (H, W), dtype=jnp.float32))
         top2 = np.sort(up, axis=-1)
         gap = top2[..., -1] - top2[..., -2]
-        assert gap[mism].max() < 1e-4, (
+        assert gap[mism].max() < gap_tol, (
             f"{mism.sum()} real argmax mismatches, max gap {gap[mism].max()}")
-        assert mism.mean() < 1e-3
+        assert mism.mean() < rate_tol
     return got
 
 
@@ -65,10 +66,19 @@ def test_separated_logits_exact():
 
 
 def test_bf16_input():
-    """bf16 low-res logits (the model's compute dtype) interpolate in f32."""
+    """bf16 low-res logits (the model's compute dtype) take the bf16
+    interpolation fast path: mismatches vs the f32 dense oracle only
+    within bf16 rounding of the top-2 gap."""
     rng = np.random.RandomState(4)
     z = jnp.asarray(rng.randn(1, 8, 8, 21), jnp.bfloat16)
-    _check(z, 96, 96)
+    _check(z, 96, 96, gap_tol=0.08, rate_tol=0.02)
+
+
+def test_bf16_input_f32_override():
+    """compute_dtype=f32 on bf16 inputs restores exact-f32 interpolation."""
+    rng = np.random.RandomState(5)
+    z = jnp.asarray(rng.randn(1, 8, 8, 21), jnp.bfloat16)
+    _check(z, 96, 96, compute_dtype=jnp.float32)
 
 
 def test_supported_gate():

@@ -14,10 +14,16 @@ the class argmax in VMEM — the upsampled logits never exist, and callers
 that drop the model's `outputs` let XLA dead-code-eliminate the model-side
 upsample too.
 
+Interpolation dtype: argmax only needs ORDERING, not loss-grade logit
+precision, so when the incoming logits are bf16 (the default compute
+policy) the tile pipeline runs in bf16 end-to-end — single-pass MXU dots
+and half the VPU traffic of the f32 path. f32 inputs keep exact f32
+interpolation.
+
 Semantics match `jnp.argmax(resize_bilinear(logits, (H, W)), axis=-1)`
-with f32 interpolation and first-occurrence tie-breaking; near-exact ties
-(top-2 gap at f32 rounding scale) may resolve differently from the dense
-composition because the summation order differs. Eval-only (no VJP).
+with first-occurrence tie-breaking; near-exact ties (top-2 gap at the
+interpolation dtype's rounding scale) may resolve differently from the
+dense composition because the summation order differs. Eval-only (no VJP).
 """
 
 from __future__ import annotations
@@ -32,23 +38,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_loss import (
-    NEG,
     _const_spec,
     _on_tpu,
     _pick_to,
     _round_up,
     _row_plan,
     _row_specs,
-    _upsample_tile,
     interp_matrix,
 )
 
+# representable in bf16 (float32 NEG=-1e30 is too); only ordering matters
+_NEG = -1e30
 
-def _argmax_kernel(zA, zB, zC, w3, awt, out, *, C, To):
-    z = _upsample_tile(zA, zB, zC, w3, awt)                  # (To, Cp, Wp)
+
+def _upsample_tile_fast(rA, rB, rC, w3, awt, dtype):
+    """(To, Cp, Wp) upsampled tile in `dtype` from three (Cp, w) source
+    rows. Unlike fused_loss._upsample_tile (f32 HIGHEST — loss-grade), the
+    argmax path runs the dots at the tile dtype: one MXU pass for bf16."""
+    prec = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    a = jnp.dot(rA[0, 0], awt[:], preferred_element_type=dtype,
+                precision=prec)
+    b = jnp.dot(rB[0, 0], awt[:], preferred_element_type=dtype,
+                precision=prec)
+    c = jnp.dot(rC[0, 0], awt[:], preferred_element_type=dtype,
+                precision=prec)
+    w = w3[0].astype(dtype)  # (To, 128); cols 0..2 hold the slot weights
+    wA = w[:, 0][:, None, None]
+    wB = w[:, 1][:, None, None]
+    wC = w[:, 2][:, None, None]
+    return wA * a[None] + wB * b[None] + wC * c[None]
+
+
+def _argmax_kernel(zA, zB, zC, w3, awt, out, *, C, To, dtype):
+    z = _upsample_tile_fast(zA, zB, zC, w3, awt, dtype)      # (To, Cp, Wp)
     Cp, Wp = z.shape[1], z.shape[2]
     ci = jax.lax.broadcasted_iota(jnp.int32, (To, Cp, Wp), 1)
-    zm = jnp.where(ci < C, z, NEG)
+    zm = jnp.where(ci < C, z, jnp.asarray(_NEG, dtype))
     m = jnp.max(zm, axis=1, keepdims=True)
     # first-occurrence tie-break, matching jnp.argmax
     out[0, 0] = jnp.min(jnp.where(zm >= m, ci, Cp), axis=1).astype(jnp.int32)
@@ -61,16 +87,18 @@ def supported(lowres_shape, out_hw) -> bool:
     return H >= h and W >= w
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "interpret"))
-def _fused_argmax(z, out_hw, interpret):
+@functools.partial(jax.jit, static_argnames=("out_hw", "interpret", "dt"))
+def _fused_argmax(z, out_hw, interpret, dt):
+    dtype = jnp.dtype(dt)
     B, h, w, C = z.shape
     H, W = out_hw
-    Cp = _round_up(C, 8)
+    # bf16 tiles pack 16 sublanes; keep the class padding tile-aligned
+    Cp = _round_up(C, 16 if dtype == jnp.bfloat16 else 8)
     Wp = _round_up(W, 128)
     To = _pick_to(H, h, W, Cp, 0)
     nT, Hp, W3 = _row_plan(H, h, To)
 
-    zt = jnp.transpose(z.astype(jnp.float32), (0, 1, 3, 2))
+    zt = jnp.transpose(z.astype(dtype), (0, 1, 3, 2))
     zt = jnp.pad(zt, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
     A = interp_matrix(W, w)
     Ap = np.zeros((Wp, w), np.float32)
@@ -87,25 +115,31 @@ def _fused_argmax(z, out_hw, interpret):
     ]
     out_spec = pl.BlockSpec((1, 1, To, Wp), lambda b, t: (b, t, 0, 0),
                             memory_space=pltpu.VMEM)
-    kern = functools.partial(_argmax_kernel, C=C, To=To)
+    kern = functools.partial(_argmax_kernel, C=C, To=To, dtype=dtype)
     preds = pl.pallas_call(
         kern, grid=(B, nT), in_specs=in_specs, out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, nT, To, Wp), jnp.int32),
         interpret=interpret,
-    )(zt, zt, zt, jnp.asarray(w3p), jnp.asarray(Ap.T))
+    )(zt, zt, zt, jnp.asarray(w3p), jnp.asarray(Ap.T, dtype))
     return preds.reshape(B, Hp, Wp)[:, :H, :W]
 
 
 def fused_argmax(logits_lr: jnp.ndarray, out_hw: Tuple[int, int], *,
-                 interpret: Optional[bool] = None) -> jnp.ndarray:
+                 interpret: Optional[bool] = None,
+                 compute_dtype=None) -> jnp.ndarray:
     """(B, H, W) int32 argmax of the bilinearly-upsampled logits, fused.
 
-    Equivalent to `jnp.argmax(resize_bilinear(logits_lr, out_hw,
-    dtype=f32), axis=-1)` without materializing the upsampled tensor."""
+    Equivalent to `jnp.argmax(resize_bilinear(logits_lr, out_hw), axis=-1)`
+    without materializing the upsampled tensor. `compute_dtype` defaults to
+    the input dtype (bf16 logits → bf16 interpolation, single-pass MXU
+    dots; anything else → exact f32)."""
     if interpret is None:
         interpret = not _on_tpu()
+    if compute_dtype is None:
+        compute_dtype = (jnp.bfloat16 if logits_lr.dtype == jnp.bfloat16
+                         else jnp.float32)
     return _fused_argmax(logits_lr, (int(out_hw[0]), int(out_hw[1])),
-                         bool(interpret))
+                         bool(interpret), jnp.dtype(compute_dtype).name)
 
 
 def fused_argmax_dense(logits_lr, out_hw):
