@@ -107,6 +107,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no_fused_loss", action="store_true", default=False,
                    help="disable the fused upsample+CE/KD kernel (dense "
                         "full-resolution loss path, reference semantics)")
+    p.add_argument("--no_device_normalize", action="store_true",
+                   default=False,
+                   help="normalize images on the host (reference "
+                        "ToTensor+Normalize) instead of shipping uint8 and "
+                        "normalizing on device")
     p.add_argument("--icarl", action="store_true", default=False)
     p.add_argument("--icarl_importance", type=float, default=1.0)
     p.add_argument("--icarl_disjoint", action="store_true", default=False)
@@ -199,6 +204,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         contrastive_capacity=args.contrastive_capacity,
         use_pallas_contrastive=not args.no_pallas,
         fused_loss=not args.no_fused_loss,
+        device_normalize=not args.no_device_normalize,
         icarl=args.icarl, icarl_importance=args.icarl_importance,
         icarl_disjoint=args.icarl_disjoint, icarl_bkg=args.icarl_bkg,
         init_balanced=args.init_balanced,

@@ -122,6 +122,12 @@ class Config:
     nan_guard: bool = False        # skip updates with non-finite grads
                                    # (optax.apply_if_finite; NEW vs reference)
     use_pallas_contrastive: bool = True
+    device_normalize: bool = True  # input pipeline ships raw uint8 RGB and
+                                   # the model normalizes on device (4x less
+                                   # host->device transfer, no host per-pixel
+                                   # normalize pass). Same ImageNet affine in
+                                   # f32; --no_device_normalize restores the
+                                   # reference's host-side ToTensor+Normalize
     fused_loss: bool = True        # fused upsample+CE/KD Pallas kernel
                                    # (ops/fused_loss.py): the full-res loss
                                    # chain never materializes the upsampled

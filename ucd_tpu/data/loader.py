@@ -119,8 +119,14 @@ class DataLoader:
                 pairs = list(pool.map(load_item, [int(i) for i in idxs]))
             else:
                 pairs = [load_item(int(i)) for i in idxs]
+            # uint8 images pass through untouched (the device-normalize
+            # pipeline: the model applies the ImageNet affine on device);
+            # anything else is already host-normalized float
+            images = np.stack([p[0] for p in pairs])
+            if images.dtype != np.uint8:
+                images = images.astype(np.float32)
             yield {
-                "image": np.stack([p[0] for p in pairs]).astype(np.float32),
+                "image": images,
                 "label": np.stack([p[1] for p in pairs]).astype(np.int32),
             }
 

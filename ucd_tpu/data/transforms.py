@@ -250,13 +250,24 @@ class RandomResizedCrop:
 
 class ToTensorNormalize:
     """uint8 HWC -> float32 HWC in [0,1], ImageNet-normalized; label int32.
-    (reference run.py:51-54 ToTensor+Normalize, NHWC instead of NCHW)."""
+    (reference run.py:51-54 ToTensor+Normalize, NHWC instead of NCHW).
 
-    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    With `to_float=False` the image stays uint8 and normalization is
+    deferred to the model on device (models/segmentation.py uint8 input
+    path) — the TPU-first pipeline: 4x less host->device transfer and no
+    per-pixel host normalize pass."""
+
+    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                 to_float: bool = True):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
+        self.to_float = to_float
 
     def __call__(self, img, lbl, rng=None):
+        if not self.to_float:
+            if img.dtype != np.uint8:
+                img = np.clip(img, 0, 255).astype(np.uint8)
+            return img, lbl.astype(np.int32)
         if img.dtype == np.uint8:
             from .native import normalize_image
             img = normalize_image(img, self.mean, self.std)
@@ -265,21 +276,22 @@ class ToTensorNormalize:
         return img, lbl.astype(np.int32)
 
 
-def train_transform(crop_size: int) -> Compose:
+def train_transform(crop_size: int, device_normalize: bool = False) -> Compose:
     """reference run.py:49-55."""
     return Compose([
         RandomResizedCrop(crop_size, (0.5, 2.0)),
         RandomHorizontalFlip(),
-        ToTensorNormalize(),
+        ToTensorNormalize(to_float=not device_normalize),
     ])
 
 
-def val_transform(crop_size: Optional[int]) -> Compose:
+def val_transform(crop_size: Optional[int],
+                  device_normalize: bool = False) -> Compose:
     """reference run.py:57-73 (crop_val)."""
     ts = []
     if crop_size is not None:
         ts += [Resize(crop_size), CenterCrop(crop_size)]
-    ts.append(ToTensorNormalize())
+    ts.append(ToTensorNormalize(to_float=not device_normalize))
     return Compose(ts)
 
 

@@ -60,7 +60,8 @@ def get_datasets(cfg: Config, base_train=None, base_val=None):
         idx_dir = path_base
     train_dst = make_incremental_dataset(
         cfg.dataset, cfg.data_root, train=True,
-        transform=train_transform(cfg.crop_size),
+        transform=train_transform(cfg.crop_size,
+                                  device_normalize=cfg.device_normalize),
         labels=labels, labels_old=labels_old,
         idxs_path=(f"{idx_dir}/train-{cfg.step}.npy" if idx_dir else None),
         masking=cfg.masking, overlap=cfg.overlap, base=base_train)
@@ -70,7 +71,8 @@ def get_datasets(cfg: Config, base_train=None, base_val=None):
     else:
         val_dst = make_incremental_dataset(
             cfg.dataset, cfg.data_root, train=False,
-            transform=val_transform(cfg.crop_size if cfg.crop_val else None),
+            transform=val_transform(cfg.crop_size if cfg.crop_val else None,
+                                device_normalize=cfg.device_normalize),
             labels=labels, labels_old=labels_old,
             idxs_path=(f"{idx_dir}/val-{cfg.step}.npy" if idx_dir else None),
             masking=cfg.masking, overlap=True,
@@ -83,7 +85,8 @@ def get_datasets(cfg: Config, base_train=None, base_val=None):
         base_val if base_val is not None else base_train)
     test_dst = make_incremental_dataset(
         cfg.dataset, cfg.data_root, train=cfg.val_on_trainset,
-        transform=val_transform(cfg.crop_size if cfg.crop_val else None),
+        transform=val_transform(cfg.crop_size if cfg.crop_val else None,
+                                device_normalize=cfg.device_normalize),
         labels=labels_cum, labels_old=None,
         idxs_path=(f"{idx_dir}/test_on_{image_set}-{cfg.step}.npy"
                    if idx_dir else None),
@@ -567,8 +570,9 @@ class Experiment:
                     os.path.join(out_dir, pre + "pre_clo.png"))
                 Image.fromarray(l2c(tgt).astype(np.uint8)).save(
                     os.path.join(out_dir, pre + "gt_clo.jpg"))
-                rgb = (Denormalize()(np.asarray(batch["image"][j]))
-                       * 255).astype(np.uint8)
+                img_j = np.asarray(batch["image"][j])
+                rgb = (img_j if img_j.dtype == np.uint8
+                       else (Denormalize()(img_j) * 255).astype(np.uint8))
                 Image.fromarray(rgb).save(
                     os.path.join(out_dir, pre + "rgb.jpg"))
                 n += 1

@@ -39,6 +39,12 @@ class Predictor:
         self._fwd_labels = jax.jit(self._labels_only)
 
     def _forward(self, variables, images):
+        if images.dtype == jnp.uint8:
+            # normalize BEFORE the multi-scale pyramid: resize_bilinear
+            # would otherwise hand the model f32 raw-RGB views that skip
+            # the model's own uint8 normalization path
+            from ..models.segmentation import normalize_uint8
+            images = normalize_uint8(images)
         n_views_logits = []
         h, w = images.shape[1], images.shape[2]
         for s in self.scales:

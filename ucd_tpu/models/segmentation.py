@@ -37,6 +37,15 @@ def att_map(x: jnp.ndarray) -> jnp.ndarray:
     return (jax.lax.stop_gradient(a)[..., None] * x.astype(jnp.float32)).astype(x.dtype)
 
 
+def normalize_uint8(x: jnp.ndarray) -> jnp.ndarray:
+    """Device-side input normalization for the uint8 input pipeline: the
+    same ImageNet affine the host ToTensorNormalize applies (reference
+    run.py:51-54), in f32. XLA fuses it into the stem conv's input read."""
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    return ((x.astype(jnp.float32) / 255.0 - jnp.asarray(IMAGENET_MEAN))
+            / jnp.asarray(IMAGENET_STD))
+
+
 def resize_bilinear(x: jnp.ndarray, size, dtype=jnp.float32) -> jnp.ndarray:
     """Bilinear resize with half-pixel centers == torch interpolate
     align_corners=False (reference segmentation_module.py:133). `dtype`
@@ -61,6 +70,10 @@ class IncrementalSegmentationModel(nn.Module):
     def __call__(self, x, train: bool = False, fix_bn: bool = False):
         """Returns (sem_logits upsampled to input size, feature dict)."""
         bn_train = train and not fix_bn
+        if x.dtype == jnp.uint8:
+            # uint8 input pipeline: ships raw RGB (4x less host->device
+            # traffic than normalized f32), normalized here on device
+            x = normalize_uint8(x)
         x = x.astype(self.dtype)
         from .resnet import STRUCTURES, ResNet
         structure, bottleneck = STRUCTURES[self.backbone]

@@ -131,7 +131,10 @@ def compose_sample_png(image_norm: np.ndarray, target: np.ndarray,
                        pred: np.ndarray, dataset: str) -> np.ndarray:
     """Side-by-side (input | GT | prediction) uint8 panel
     (reference run.py:343-349)."""
-    denorm = Denormalize()
     l2c = Label2Color(color_map(dataset))
-    img = (denorm(image_norm) * 255).astype(np.uint8)
+    if image_norm.dtype == np.uint8:
+        # device-normalize pipeline: the host-side image is already raw RGB
+        img = image_norm
+    else:
+        img = (Denormalize()(image_norm) * 255).astype(np.uint8)
     return np.concatenate([img, l2c(target), l2c(pred)], axis=1)
