@@ -16,9 +16,10 @@ upsample too.
 
 Interpolation dtype: argmax only needs ORDERING, not loss-grade logit
 precision, so when the incoming logits are bf16 (the default compute
-policy) the tile pipeline runs in bf16 end-to-end — single-pass MXU dots
-and half the VPU traffic of the f32 path. f32 inputs keep exact f32
-interpolation.
+policy) the tiles are STORED and dotted in bf16 — single-pass MXU dots
+and half the HBM→VMEM traffic of the f32 path — while the post-dot lerp
+and compare run in f32 (Mosaic requires 32-bit accumulators/broadcasts).
+f32 inputs keep exact f32 interpolation.
 
 Semantics match `jnp.argmax(resize_bilinear(logits, (H, W)), axis=-1)`
 with first-occurrence tie-breaking; near-exact ties (top-2 gap at the
@@ -47,23 +48,26 @@ from .fused_loss import (
     interp_matrix,
 )
 
-# representable in bf16 (float32 NEG=-1e30 is too); only ordering matters
 _NEG = -1e30
 
 
 def _upsample_tile_fast(rA, rB, rC, w3, awt, dtype):
-    """(To, Cp, Wp) upsampled tile in `dtype` from three (Cp, w) source
-    rows. Unlike fused_loss._upsample_tile (f32 HIGHEST — loss-grade), the
-    argmax path runs the dots at the tile dtype: one MXU pass for bf16."""
+    """(To, Cp, Wp) f32 upsampled tile from three (Cp, w) source rows held
+    in `dtype`. Unlike fused_loss._upsample_tile (f32 HIGHEST — loss-grade),
+    the argmax path runs the width dots at the INPUT dtype: one MXU pass
+    for bf16 operands, half the HBM→VMEM traffic. Mosaic requires a 32-bit
+    matmul accumulator and 32-bit minor-dim broadcasts, so all in-VMEM
+    arithmetic past the dot stays f32 (argmax only needs ordering; the
+    bf16 savings are in the memory system, not the VPU)."""
     prec = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
-    a = jnp.dot(rA[0, 0], awt[:], preferred_element_type=dtype,
+    a = jnp.dot(rA[0, 0], awt[:], preferred_element_type=jnp.float32,
                 precision=prec)
-    b = jnp.dot(rB[0, 0], awt[:], preferred_element_type=dtype,
+    b = jnp.dot(rB[0, 0], awt[:], preferred_element_type=jnp.float32,
                 precision=prec)
-    c = jnp.dot(rC[0, 0], awt[:], preferred_element_type=dtype,
+    c = jnp.dot(rC[0, 0], awt[:], preferred_element_type=jnp.float32,
                 precision=prec)
-    w = w3[0].astype(dtype)  # (To, 128); cols 0..2 hold the slot weights
+    w = w3[0]  # (To, 128) f32; cols 0..2 hold the slot weights
     wA = w[:, 0][:, None, None]
     wB = w[:, 1][:, None, None]
     wC = w[:, 2][:, None, None]
@@ -74,7 +78,7 @@ def _argmax_kernel(zA, zB, zC, w3, awt, out, *, C, To, dtype):
     z = _upsample_tile_fast(zA, zB, zC, w3, awt, dtype)      # (To, Cp, Wp)
     Cp, Wp = z.shape[1], z.shape[2]
     ci = jax.lax.broadcasted_iota(jnp.int32, (To, Cp, Wp), 1)
-    zm = jnp.where(ci < C, z, jnp.asarray(_NEG, dtype))
+    zm = jnp.where(ci < C, z, _NEG)
     m = jnp.max(zm, axis=1, keepdims=True)
     # first-occurrence tie-break, matching jnp.argmax
     out[0, 0] = jnp.min(jnp.where(zm >= m, ci, Cp), axis=1).astype(jnp.int32)
