@@ -44,6 +44,27 @@ def test_non_multiple_shapes():
     _check(z, 100, 132)
 
 
+def test_nan_pixels_stay_in_class_range():
+    """NaN logits must yield an IN-RANGE class, never the padded class
+    count — an out-of-range pred lands in the wrong ROW of the confusion
+    matrix (idx = label*n_cls + pred) and silently corrupts mIoU for runs
+    that hit non-finite logits (cfg.nan_guard anticipates exactly those).
+    Exact NaN placement is unspecified in BOTH paths (the dense oracle's
+    interp matmul spreads 0*NaN everywhere), so only the range invariant
+    is pinned; all-NaN pixels resolve to 0 like jnp.argmax."""
+    rng = np.random.RandomState(7)
+    C = 5
+    z = rng.randn(1, 4, 4, C).astype(np.float32)
+    z[0, 1, 2, :] = np.nan  # one fully-NaN source pixel
+    got = np.asarray(fused_argmax(jnp.asarray(z), (8, 8), interpret=True))
+    assert got.min() >= 0 and got.max() < C, got
+    # a fully-NaN input resolves to class 0 everywhere, like jnp.argmax
+    z_all = np.full((1, 4, 4, C), np.nan, np.float32)
+    got_all = np.asarray(fused_argmax(jnp.asarray(z_all), (8, 8),
+                                      interpret=True))
+    np.testing.assert_array_equal(got_all, 0)
+
+
 def test_identity_resolution():
     """H == h (no upsampling, To=1) still matches."""
     rng = np.random.RandomState(2)

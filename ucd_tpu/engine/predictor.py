@@ -80,12 +80,15 @@ class Predictor:
         """Argmax-only deployment path. With a single view every fusion
         mode reduces to argmax(logits), so the fused upsample+argmax kernel
         (ops/fused_eval.py) applies and the full-res logits are never
-        materialized; TTA configurations fall back to the full fusion."""
-        single_view = self.scales == (1.0,) and not self.flip
-        if single_view and self.fused:
-            _, feats = self.model.apply(variables, images, train=False)
-            if FE.supported(feats["sem"].shape, images.shape[1:3]):
+        materialized; when the kernel doesn't cover the shape, the
+        already-computed full-res logits are argmaxed directly (one model
+        apply either way). TTA configurations take the full fusion."""
+        if self.scales == (1.0,) and not self.flip:
+            outputs, feats = self.model.apply(variables, images, train=False)
+            if self.fused and FE.supported(feats["sem"].shape,
+                                           images.shape[1:3]):
                 return FE.fused_argmax(feats["sem"], images.shape[1:3])
+            return jnp.argmax(outputs, axis=-1).astype(jnp.int32)
         preds, _ = self._forward(variables, images)
         return preds
 

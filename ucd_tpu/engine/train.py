@@ -81,6 +81,38 @@ def _apply_mask(grads, mask):
     return tmap(lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
 
 
+def _fused_gate(cfg: Config, feats, labels, kd_on: bool):
+    """Shared fused-kernel gating for train and eval: (ce_mode, kd_mode,
+    use_fused). The fused upsample+CE+KD path computes the criterion and
+    the KD term straight from the LOW-RES logits (feats['sem']) — the
+    (B,H,W,C) upsampled tensors are never materialized and `outputs` goes
+    unused, so XLA dead-code-eliminates the model's bilinear upsample from
+    the step entirely (round-3 ADE trace: ~60 ms/step of the full-res loss
+    chain at C=151). bce/icarl configs keep the dense path."""
+    ce_mode = "unce" if (cfg.unce and cfg.old_classes != 0) else "ce"
+    kd_mode = ("unkd" if cfg.unkd else "kd") if kd_on else "none"
+    use_fused = (getattr(cfg, "fused_loss", True)
+                 and not (cfg.bce or cfg.icarl)
+                 and FL.supported(feats["sem"].shape, labels.shape,
+                                  ce_mode, kd_mode))
+    return ce_mode, kd_mode, use_fused
+
+
+def _dense_criterion(cfg: Config, outputs, labels, outputs_old,
+                     icarl_only_dist: bool):
+    """Dense full-res criterion selection (reference train.py:34-40)."""
+    if icarl_only_dist:
+        return L.icarl_loss(outputs, labels,
+                            jax.nn.sigmoid(outputs_old.astype(jnp.float32)),
+                            bkg=cfg.icarl_bkg)
+    if cfg.bce or cfg.icarl:
+        return L.bce_with_logits_ignore(outputs, labels,
+                                        reduction="mean_all")
+    if cfg.unce and cfg.old_classes != 0:
+        return L.unbiased_cross_entropy(outputs, labels, cfg.old_classes)
+    return L.cross_entropy(outputs, labels)
+
+
 def compute_train_losses(cfg: Config, outputs, feats, labels,
                          outputs_old=None, feats_old=None):
     """All loss terms of the hot loop (reference train.py:110-135)."""
@@ -91,20 +123,9 @@ def compute_train_losses(cfg: Config, outputs, feats, labels,
     icarl_combined = cfg.icarl and not cfg.icarl_disjoint and has_old
     icarl_only_dist = cfg.icarl and cfg.icarl_disjoint and has_old
 
-    # fused upsample+CE+KD path: the criterion and the KD term are computed
-    # by ops.fused_loss straight from the LOW-RES logits (feats['sem']) —
-    # the (B,H,W,C) upsampled tensors are never materialized and `outputs`
-    # goes unused, so XLA dead-code-eliminates the model's bilinear upsample
-    # from the train step entirely (round-3 ADE trace: ~60 ms/step of the
-    # full-res loss chain at C=151). bce/icarl configs keep the dense path.
-    ce_mode = "unce" if (cfg.unce and cfg.old_classes != 0) else "ce"
     kd_on = cfg.loss_kd > 0 and has_old
-    kd_mode = ("unkd" if cfg.unkd else "kd") if kd_on else "none"
+    ce_mode, kd_mode, use_fused = _fused_gate(cfg, feats, labels, kd_on)
     fused_kd = None
-    use_fused = (getattr(cfg, "fused_loss", True)
-                 and not (cfg.bce or cfg.icarl)
-                 and FL.supported(feats["sem"].shape, labels.shape,
-                                  ce_mode, kd_mode))
 
     # main criterion (reference train.py:34-40)
     if use_fused:
@@ -115,16 +136,9 @@ def compute_train_losses(cfg: Config, outputs, feats, labels,
             alpha=cfg.alpha)
         if kd_on:
             fused_kd = cfg.loss_kd * kd_raw
-    elif icarl_only_dist:
-        loss = L.icarl_loss(outputs, labels,
-                            jax.nn.sigmoid(outputs_old.astype(jnp.float32)),
-                            bkg=cfg.icarl_bkg)
-    elif cfg.bce or cfg.icarl:
-        loss = L.bce_with_logits_ignore(outputs, labels, reduction="mean_all")
-    elif cfg.unce and cfg.old_classes != 0:
-        loss = L.unbiased_cross_entropy(outputs, labels, cfg.old_classes)
     else:
-        loss = L.cross_entropy(outputs, labels)
+        loss = _dense_criterion(cfg, outputs, labels, outputs_old,
+                                icarl_only_dist)
     terms["loss"] = loss
 
     # UCD pixel-contrastive distillation (train.py:114-116, gated — §2.6-7)
@@ -263,51 +277,12 @@ def make_eval_step(cfg: Config, model, model_old=None):
         # from the LOW-RES logits — `outputs` then goes unused and XLA
         # dead-code-eliminates the model's full-res upsample from the eval
         # program (176 MB/batch at VOC, 1.3 GB at ADE never touch HBM).
-        ce_mode = "unce" if (cfg.unce and cfg.old_classes != 0) else "ce"
         kd_on = cfg.loss_kd > 0 and has_old and outputs_old is not None
-        kd_mode = ("unkd" if cfg.unkd else "kd") if kd_on else "none"
-        use_fused = (getattr(cfg, "fused_loss", True)
-                     and not (cfg.bce or cfg.icarl)
-                     and FL.supported(feats["sem"].shape, labels.shape,
-                                      ce_mode, kd_mode)
-                     and FE.supported(feats["sem"].shape, labels.shape[1:3]))
-
-        icarl_only_dist = cfg.icarl and cfg.icarl_disjoint and has_old
-        if use_fused:
-            loss, lkd_raw = FL.fused_ce_kd(
-                feats["sem"], labels,
-                feats_old["sem"] if kd_on else None,
-                old_cl=cfg.old_classes, ce_mode=ce_mode, kd_mode=kd_mode,
-                alpha=cfg.alpha)
-            lde = jnp.zeros((), jnp.float32)
-            if cfg.loss_de > 0 and has_old and feats_old is not None:
-                lde = (L.feature_distillation(feats["body"],
-                                              feats_old["body"])
-                       + L.feature_distillation(feats["pre_logits"],
-                                                feats_old["pre_logits"]))
-            preds = FE.fused_argmax(feats["sem"], labels.shape[1:3])
-            hist = confusion_matrix_update(hist, labels, preds, n_classes)
-            return hist, {"loss": loss,
-                          "lkd": lkd_raw if kd_on
-                          else jnp.zeros((), jnp.float32),
-                          "lde": lde}, preds
-        if icarl_only_dist:
-            loss = L.icarl_loss(outputs, labels,
-                                jax.nn.sigmoid(outputs_old.astype(jnp.float32)),
-                                bkg=cfg.icarl_bkg)
-        elif cfg.bce or cfg.icarl:
-            loss = L.bce_with_logits_ignore(outputs, labels, reduction="mean_all")
-        elif cfg.unce and cfg.old_classes != 0:
-            loss = L.unbiased_cross_entropy(outputs, labels, cfg.old_classes)
-        else:
-            loss = L.cross_entropy(outputs, labels)
+        ce_mode, kd_mode, use_fused = _fused_gate(cfg, feats, labels, kd_on)
+        use_fused = use_fused and FE.supported(feats["sem"].shape,
+                                               labels.shape[1:3])
 
         lkd = lde = jnp.zeros((), jnp.float32)
-        if cfg.loss_kd > 0 and has_old and outputs_old is not None:
-            kd_fn = (L.unbiased_knowledge_distillation if cfg.unkd
-                     else L.knowledge_distillation)
-            # unscaled, logging only (reference train.py:232)
-            lkd = kd_fn(outputs, outputs_old, alpha=cfg.alpha)
         if cfg.loss_de > 0 and has_old and feats_old is not None:
             # body + pre_logits, mirroring the train loop (reference
             # train.py:227-229 computes both in validate as well)
@@ -315,7 +290,26 @@ def make_eval_step(cfg: Config, model, model_old=None):
                    + L.feature_distillation(feats["pre_logits"],
                                             feats_old["pre_logits"]))
 
-        preds = jnp.argmax(outputs, axis=-1).astype(jnp.int32)
+        if use_fused:
+            loss, lkd_raw = FL.fused_ce_kd(
+                feats["sem"], labels,
+                feats_old["sem"] if kd_on else None,
+                old_cl=cfg.old_classes, ce_mode=ce_mode, kd_mode=kd_mode,
+                alpha=cfg.alpha)
+            if kd_on:
+                lkd = lkd_raw  # unscaled, logging only (train.py:232)
+            preds = FE.fused_argmax(feats["sem"], labels.shape[1:3])
+        else:
+            icarl_only_dist = cfg.icarl and cfg.icarl_disjoint and has_old
+            loss = _dense_criterion(cfg, outputs, labels, outputs_old,
+                                    icarl_only_dist)
+            if kd_on:
+                kd_fn = (L.unbiased_knowledge_distillation if cfg.unkd
+                         else L.knowledge_distillation)
+                # unscaled, logging only (reference train.py:232)
+                lkd = kd_fn(outputs, outputs_old, alpha=cfg.alpha)
+            preds = jnp.argmax(outputs, axis=-1).astype(jnp.int32)
+
         hist = confusion_matrix_update(hist, labels, preds, n_classes)
         return hist, {"loss": loss, "lkd": lkd, "lde": lde}, preds
 

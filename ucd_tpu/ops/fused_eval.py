@@ -34,18 +34,17 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_loss import (
     _const_spec,
+    _interp_consts,
     _on_tpu,
     _pick_to,
     _round_up,
-    _row_plan,
     _row_specs,
-    interp_matrix,
+    _tr_pad_classes,
 )
 
 _NEG = -1e30
@@ -81,7 +80,12 @@ def _argmax_kernel(zA, zB, zC, w3, awt, out, *, C, To, dtype):
     zm = jnp.where(ci < C, z, _NEG)
     m = jnp.max(zm, axis=1, keepdims=True)
     # first-occurrence tie-break, matching jnp.argmax
-    out[0, 0] = jnp.min(jnp.where(zm >= m, ci, Cp), axis=1).astype(jnp.int32)
+    p = jnp.min(jnp.where(zm >= m, ci, Cp), axis=1)
+    # all-NaN pixels leave `zm >= m` false everywhere and fall through to
+    # Cp — an out-of-range class that would land in the WRONG row of the
+    # confusion matrix (idx = label*n_cls + pred). jnp.argmax returns 0
+    # there; match it.
+    out[0, 0] = jnp.where(p >= C, 0, p).astype(jnp.int32)
 
 
 def supported(lowres_shape, out_hw) -> bool:
@@ -98,18 +102,9 @@ def _fused_argmax(z, out_hw, interpret, dt):
     H, W = out_hw
     # bf16 tiles pack 16 sublanes; keep the class padding tile-aligned
     Cp = _round_up(C, 16 if dtype == jnp.bfloat16 else 8)
-    Wp = _round_up(W, 128)
     To = _pick_to(H, h, W, Cp, 0)
-    nT, Hp, W3 = _row_plan(H, h, To)
-
-    zt = jnp.transpose(z.astype(dtype), (0, 1, 3, 2))
-    zt = jnp.pad(zt, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
-    A = interp_matrix(W, w)
-    Ap = np.zeros((Wp, w), np.float32)
-    Ap[:W] = A
-    w3p = np.zeros((Hp, 128), np.float32)
-    w3p[:, :3] = W3
-    w3p = w3p.reshape(nT, To, 128)
+    nT, Hp, Wp, Ap, w3p = _interp_consts(H, h, W, w, To)
+    zt = _tr_pad_classes(z, Cp, dtype)
 
     rows = _row_specs(h, Cp, w, To, H)
     in_specs = rows + [

@@ -268,32 +268,41 @@ def _grad_kernel(zA, zB, zC, tA, tB, tC, lab, w3, awt, aw, coefs,
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
 
+def _tr_pad_classes(x, Cp, dtype=jnp.float32):
+    """(B, h, w, C) → (B, h, Cp, w): classes onto sublanes, padded to Cp."""
+    x = jnp.transpose(x.astype(dtype), (0, 1, 3, 2))
+    return jnp.pad(x, ((0, 0), (0, 0), (0, Cp - x.shape[2]), (0, 0)))
+
+
+def _interp_consts(H, h, W, w, To):
+    """Shared upsample-plan constants: padded width-interp matrix
+    (Wp, w) and the 3-slot row-weight plan reshaped per tile
+    (nT, To, 128; cols 0..2 hold the slot weights)."""
+    nT, Hp, W3 = _row_plan(H, h, To)
+    Wp = _round_up(W, 128)
+    A = interp_matrix(W, w)                                   # (W, w)
+    Ap = np.zeros((Wp, w), np.float32)
+    Ap[:W] = A
+    w3p = np.zeros((Hp, 128), np.float32)
+    w3p[:, :3] = W3
+    return nT, Hp, Wp, Ap, w3p.reshape(nT, To, 128)
+
+
 def _prep(z, tz, labels, H, W, To):
     """Transpose to (B, h, C, w), pad classes to a shared multiple of 8,
     pad labels/interp matrices to lane multiples."""
     B, h, w, C = z.shape
     Co = tz.shape[-1]
     Cp = _round_up(max(C, Co), 8)
-    Wp = _round_up(W, 128)
-    nT, Hp, W3 = _row_plan(H, h, To)
+    nT, Hp, Wp, Ap, w3p = _interp_consts(H, h, W, w, To)
 
-    def tr(x):
-        x = jnp.transpose(x.astype(jnp.float32), (0, 1, 3, 2))
-        return jnp.pad(x, ((0, 0), (0, 0), (0, Cp - x.shape[2]), (0, 0)))
-
-    zt, tt = tr(z), tr(tz)
+    zt, tt = _tr_pad_classes(z, Cp), _tr_pad_classes(tz, Cp)
     # labels as (B, nT, To, Wp) and weights as (nT, To, 128): Mosaic block
     # shapes must have their last two dims equal to the array dims (or be
     # (8,128)-divisible), so the tile height gets its own full axis
     lab = jnp.pad(labels.astype(jnp.int32),
                   ((0, 0), (0, Hp - H), (0, Wp - W)),
                   constant_values=IGNORE).reshape(B, nT, To, Wp)
-    A = interp_matrix(W, w)                                   # (W, w)
-    Ap = np.zeros((Wp, w), np.float32)
-    Ap[:W] = A
-    w3p = np.zeros((Hp, 128), np.float32)
-    w3p[:, :3] = W3
-    w3p = w3p.reshape(nT, To, 128)
     return zt, tt, lab, jnp.asarray(Ap.T), jnp.asarray(Ap), \
         jnp.asarray(w3p), B, h, Cp, Wp, nT
 
