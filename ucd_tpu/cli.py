@@ -42,9 +42,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--task", default="19-1",
                    choices=task_registry.get_task_list())
     p.add_argument("--step", type=int, default=0)
+    # 'att' is accepted for drop-in compat with the reference's choices list
+    # (argparser.py:67); like the reference, it expands to no preset.
     p.add_argument("--method", default=None,
                    choices=["FT", "LWF", "LWF-MC", "ILT", "EWC", "RW", "PI",
-                            "MiB", "UCD"])
+                            "MiB", "att", "UCD"])
     p.add_argument("--data_root", default="data")
     p.add_argument("--overlap", action="store_true", default=False)
     p.add_argument("--no_mask", action="store_true", default=False)
@@ -90,6 +92,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--local_rank", type=int, default=None,
                    help="accepted and ignored (torch.distributed.launch "
                         "compat)")
+    p.add_argument("--MASTER_PORT", type=str, default=None,
+                   help="accepted and ignored (reference run.py NCCL "
+                        "rendezvous compat; use --coordinator)")
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--nan_guard", action="store_true", default=False)
 

@@ -23,7 +23,10 @@ from typing import Optional
 
 from . import tasks as task_registry
 
-METHODS = ("FT", "LWF", "LWF-MC", "ILT", "EWC", "RW", "PI", "MiB", "UCD")
+# 'att' mirrors the reference's choices list (argparser.py:67): accepted,
+# expands to no preset (flags are passed manually), kept for drop-in compat
+METHODS = ("FT", "LWF", "LWF-MC", "ILT", "EWC", "RW", "PI", "MiB", "att",
+           "UCD")
 
 # per-dataset total class counts incl. background/void (argparser.py:6-11);
 # city_domain uses the fixed 19 train-ids at every step (domain-incremental)
