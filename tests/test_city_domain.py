@@ -70,6 +70,7 @@ def test_domain_dataset_split():
     assert img.shape == (16, 16, 3) and lbl.shape == (16, 16)
 
 
+@pytest.mark.slow
 def test_domain_incremental_trains(rng):
     """One LWF step with fixed head: cls_0 must keep training at step > 0."""
     import jax.numpy as jnp

@@ -104,6 +104,7 @@ def test_city_disk_reader_collapse(tmp_path, rng):
     assert lbl.max() <= 19
 
 
+@pytest.mark.slow
 def test_cli_train_on_disk_voc(tmp_path, rng, monkeypatch, capsys):
     """The complete user journey with NO synthetic injection: real VOC file
     tree -> cli train (reference run.py flow) -> idx caches under

@@ -6,6 +6,7 @@ with identical f32 math."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ucd_tpu import config
 from ucd_tpu.data.transforms import (IMAGENET_MEAN, IMAGENET_STD,
@@ -62,6 +63,7 @@ def test_transform_pipelines_dtype():
         assert abs(i32).max() < 4.0
 
 
+@pytest.mark.slow
 def test_predictor_uint8_multiscale():
     """Predictor normalizes uint8 BEFORE the multi-scale pyramid; a raw-RGB
     resized view must never bypass normalization."""
@@ -80,6 +82,7 @@ def test_predictor_uint8_multiscale():
         np.testing.assert_array_equal(np.asarray(pred_u), np.asarray(pred_f))
 
 
+@pytest.mark.slow
 def test_experiment_uint8_end_to_end(tmp_path):
     """Experiment with the default uint8 pipeline trains and evals; batches
     reaching the device are uint8."""
