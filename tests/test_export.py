@@ -1,0 +1,129 @@
+"""Deployment export (engine/export.py): checkpoint -> standalone
+inference npz -> CLI predict, without any Config at load time.
+
+The reference has no deployment surface (predictions require the full
+test.py eval entry); the round trip asserted here is the new serving
+contract: bf16 export stays prediction-identical to the training
+variables, and `ucd_tpu predict` runs from the npz + image files alone."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from ucd_tpu import config
+from ucd_tpu.engine import build_train_state
+from ucd_tpu.engine.checkpoint import save_checkpoint
+from ucd_tpu.engine.export import (collect_images, export_inference,
+                                   load_inference, predict_paths)
+from ucd_tpu.engine.predictor import Predictor
+from ucd_tpu.models import make_model
+
+
+def _small_cfg(**kw):
+    return config.make_config(
+        dataset="voc", task="19-1", step=0, method="FT", epochs=1,
+        batch_size=2, crop_size=32, backbone="resnet50", dtype="float32",
+        pretrained=False, overlap=True, pooling=4, **kw)
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    d = tmp_path_factory.mktemp("export")
+    cfg = _small_cfg()
+    model = make_model(cfg)
+    state, _ = build_train_state(cfg, model, jax.random.key(0), 4,
+                                 input_shape=(1, 32, 32, 3))
+    ckpt = os.path.join(d, "ckpt")
+    save_checkpoint(ckpt, state, epoch=0, best_score=0.0)
+    out = os.path.join(d, "model.npz")
+    meta = export_inference(ckpt, out, cfg, export_dtype="bfloat16")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return cfg, model, variables, out, meta, str(d)
+
+
+def test_export_meta_and_size(exported):
+    cfg, model, variables, out, meta, d = exported
+    assert meta["format"] == "ucd_tpu.inference.v1"
+    assert meta["classes"] == list(cfg.classes_per_step)
+    assert meta["backbone"] == "resnet50"
+    assert meta["bf16_keys"], "bf16 export should cast float params"
+    # inference npz carries no optimizer/regularizer state: it must be
+    # well under the f32 param bytes (bf16 halves params, drops momentum)
+    param_bytes = sum(np.asarray(x).nbytes
+                      for x in jax.tree_util.tree_leaves(variables))
+    assert os.path.getsize(out) < param_bytes
+
+
+def test_export_predicts_identically(exported):
+    cfg, model, variables, out, meta, d = exported
+    ex_model, ex_vars, _ = load_inference(out)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (1, 64, 64, 3), np.uint8)
+    want = np.asarray(
+        Predictor(model, variables, fused=False).predict_labels(img))
+    # exported model computes in bf16 (meta dtype): compare prediction
+    # agreement, allowing bf16-rounding flips at near-ties
+    got = np.asarray(
+        Predictor(ex_model, ex_vars, fused=False).predict_labels(img))
+    assert (got == want).mean() > 0.98, (got != want).mean()
+
+
+def test_f32_export_exact(exported):
+    cfg, model, variables, out, meta, d = exported
+    out32 = os.path.join(d, "model_f32.npz")
+    ckpt = os.path.join(d, "ckpt")
+    export_inference(ckpt, out32, cfg, export_dtype="float32")
+    ex_model, ex_vars, meta32 = load_inference(out32)
+    assert not meta32["bf16_keys"]
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (1, 64, 64, 3), np.uint8)
+    want = np.asarray(
+        Predictor(model, variables, fused=False).predict_labels(img))
+    got = np.asarray(
+        Predictor(ex_model, ex_vars, fused=False).predict_labels(img))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_predict_paths_writes_pngs(exported, tmp_path):
+    cfg, model, variables, out, meta, d = exported
+    ex_model, ex_vars, _ = load_inference(out)
+    rng = np.random.RandomState(2)
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    # mixed sizes: both pad into the same 64-bucket program
+    for name, (h, w) in (("a.png", (50, 61)), ("b.jpg", (64, 40))):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            imgdir / name)
+    files = collect_images(str(imgdir))
+    assert len(files) == 2
+    written = predict_paths(ex_model, ex_vars, files, str(tmp_path / "out"),
+                            dataset=meta["dataset"], bucket=64,
+                            save_ids=True, fused=False)
+    assert len(written) == 4  # ids + color per image
+    color = Image.open(tmp_path / "out" / "a_color.png")
+    assert color.size == (61, 50)  # cropped back to native size
+    ids = np.asarray(Image.open(tmp_path / "out" / "a_ids.png"))
+    assert ids.shape == (50, 61) and ids.max() < cfg.tot_classes
+
+
+def test_cli_export_and_predict(exported, tmp_path, capsys):
+    cfg, model, variables, out, meta, d = exported
+    from ucd_tpu.cli import main
+    npz = str(tmp_path / "cli_model.npz")
+    rc = main(["export", "--ckpt", os.path.join(d, "ckpt"), "--out", npz,
+               "--backbone", "resnet50", "--pooling", "4",
+               "--no_pretrained"])
+    assert rc == 0 and os.path.exists(npz)
+    assert "resnet50" in capsys.readouterr().out
+
+    img = tmp_path / "one.png"
+    Image.fromarray(np.random.RandomState(3).randint(
+        0, 255, (40, 52, 3), np.uint8)).save(img)
+    rc = main(["predict", "--model", npz, "--images", str(img),
+               "--out", str(tmp_path / "pred"), "--bucket", "64",
+               "--no_fused"])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "pred" / "one_color.png")

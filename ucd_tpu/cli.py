@@ -29,6 +29,30 @@ def build_parser() -> argparse.ArgumentParser:
     for name in ("train", "test", "run-task"):
         sp = sub.add_parser(name)
         _add_common(sp)
+    # deployment surfaces (engine/export.py): checkpoint -> standalone
+    # inference npz, and batch prediction from that npz alone
+    ex = sub.add_parser("export", help="pack a step checkpoint into a "
+                        "standalone inference npz (params+batch_stats only)")
+    _add_common(ex)
+    ex.add_argument("--out", required=True, metavar="FILE.npz")
+    ex.add_argument("--export_dtype", choices=["bfloat16", "float32"],
+                    default="bfloat16")
+    pr = sub.add_parser("predict", help="run predictions over image files "
+                        "using an exported inference npz")
+    pr.add_argument("--model", required=True, metavar="FILE.npz")
+    pr.add_argument("--images", required=True,
+                    help="an image file or a directory of images")
+    pr.add_argument("--out", required=True, help="output directory")
+    pr.add_argument("--bucket", type=int, default=128,
+                    help="pad images to multiples of this (few XLA "
+                         "compiles across mixed sizes)")
+    pr.add_argument("--fusion-mode", dest="fusion_mode", default="mean",
+                    choices=["mean", "voting", "max"])
+    pr.add_argument("--test_scales", type=str, default="1.0")
+    pr.add_argument("--test_flip", action="store_true", default=False)
+    pr.add_argument("--save_ids", action="store_true", default=False,
+                    help="also write raw class-id maps")
+    pr.add_argument("--no_fused", action="store_true", default=False)
     return p
 
 
@@ -283,6 +307,22 @@ def _run_one_step(cfg: Config, profile_dir=None, synthetic: int = 0,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.command == "predict":
+        # standalone serving path: everything comes from the npz header
+        from .engine.export import (collect_images, load_inference,
+                                    predict_paths)
+        model, variables, meta = load_inference(args.model)
+        written = predict_paths(
+            model, variables, collect_images(args.images), args.out,
+            dataset=meta["dataset"], bucket=args.bucket,
+            fusion_mode=args.fusion_mode,
+            scales=tuple(float(s) for s in args.test_scales.split(",")),
+            flip=args.test_flip, save_ids=args.save_ids,
+            fused=not args.no_fused)
+        print(f"wrote {len(written)} files to {args.out}")
+        return 0
+
     # must run before the first jax backend use
     from .parallel.distributed import maybe_initialize
     maybe_initialize(coordinator=args.coordinator,
@@ -290,6 +330,18 @@ def main(argv=None):
                      process_id=args.process_id,
                      auto=args.distributed)
     cfg = config_from_args(args)
+
+    if args.command == "export":
+        from .engine.export import export_inference
+        ckpt = cfg.ckpt or cfg.step_ckpt
+        if ckpt is None:
+            raise SystemExit(
+                "export needs --ckpt (or --step_ckpt) naming the step "
+                "checkpoint to pack")
+        meta = export_inference(ckpt, args.out, cfg, args.export_dtype)
+        print(f"exported {args.out}: {meta['backbone']} os{meta['output_stride']} "
+              f"classes={meta['classes']} dtype={meta['dtype']}")
+        return 0
 
     if args.command == "train":
         _run_one_step(cfg, args.profile_dir, synthetic=args.synthetic,

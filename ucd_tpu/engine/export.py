@@ -1,0 +1,195 @@
+"""Deployment export + standalone batch prediction.
+
+The reference has no deployment story: dumping predictions requires
+re-running the full eval entry (test.py:95-277) with the dataset tree,
+NCCL init and the training config on hand. This module gives the
+framework a real serving path:
+
+  * `export_inference` packs a trained step checkpoint into ONE
+    self-describing `.npz` — inference variables only (no optimizer /
+    regularizer / schedule state, ~1/3 of the checkpoint bytes), float
+    params optionally cast to bf16, with the architecture recorded in an
+    embedded JSON header so loading needs no Config;
+  * `load_inference` rebuilds the model + variables from that file alone;
+  * `predict_paths` runs the Predictor over arbitrary image files,
+    padding each image up to a spatial bucket (the same strategy as
+    full-size eval, `pad_to_bucket`) so a directory of mixed sizes
+    compiles a handful of XLA programs instead of one per shape, and
+    writes class-id maps and dataset-palette color PNGs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_META_KEY = "__ucd_tpu_meta__"
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def export_inference(ckpt_path: str, out_path: str, cfg,
+                     export_dtype: str = "bfloat16") -> dict:
+    """Checkpoint dir -> standalone inference npz. Returns the meta dict.
+
+    Float PARAMS are cast to `export_dtype`; batch_stats stay f32 (BN
+    running statistics are accumulated quantities — bf16 rounding there
+    costs accuracy for zero speed: inference reads them once per layer)."""
+    from .checkpoint import check_schema, load_checkpoint
+
+    import ml_dtypes
+
+    raw = load_checkpoint(ckpt_path)
+    if raw is None:
+        raise FileNotFoundError(f"no checkpoint at {ckpt_path!r}")
+    check_schema(raw, ckpt_path)
+    ms = raw["model_state"]
+
+    # npz cannot store bfloat16: bf16 leaves ship as uint16 bit patterns,
+    # with the affected keys recorded in the meta header
+    bf16_keys = []
+    flat = {}
+    for k, v in _flatten(ms["params"]).items():
+        key = f"params/{k}"
+        v = np.asarray(v)
+        if export_dtype == "bfloat16" and np.issubdtype(v.dtype,
+                                                        np.floating):
+            v = v.astype(ml_dtypes.bfloat16).view(np.uint16)
+            bf16_keys.append(key)
+        flat[key] = v
+    flat.update({f"batch_stats/{k}": np.asarray(v, np.float32)
+                 for k, v in _flatten(ms["batch_stats"]).items()})
+
+    meta = {
+        "bf16_keys": bf16_keys,
+        "format": "ucd_tpu.inference.v1",
+        "backbone": cfg.backbone,
+        "output_stride": cfg.output_stride,
+        "classes": list(cfg.classes_per_step),
+        "head_channels": cfg.head_channels,
+        "pooling": cfg.pooling,
+        "dataset": cfg.dataset,
+        "dtype": export_dtype,
+    }
+    # JSON header as a uint8 array: np.savez stores it losslessly and the
+    # loader needs no side-channel file
+    flat[_META_KEY] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    np.savez(out_path, **flat)
+    return meta
+
+
+def load_inference(path: str):
+    """Inference npz -> (model, variables, meta). Needs no Config."""
+    import jax.numpy as jnp
+
+    from ..models.segmentation import IncrementalSegmentationModel
+
+    import ml_dtypes
+
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    if _META_KEY not in flat:
+        raise ValueError(
+            f"{path!r} is not a ucd_tpu inference export (missing meta "
+            f"header); produce one with `ucd_tpu export`")
+    meta = json.loads(bytes(flat.pop(_META_KEY).tobytes()).decode())
+    for k in meta.get("bf16_keys", ()):
+        flat[k] = flat[k].view(ml_dtypes.bfloat16)
+    tree = _unflatten(flat)
+    dtype = jnp.bfloat16 if meta["dtype"] == "bfloat16" else jnp.float32
+    model = IncrementalSegmentationModel(
+        classes=tuple(meta["classes"]),
+        backbone=meta["backbone"],
+        output_stride=meta["output_stride"],
+        head_channels=meta["head_channels"],
+        pooling_size=meta["pooling"],
+        dtype=dtype,
+    )
+    variables = {"params": tree["params"],
+                 "batch_stats": tree["batch_stats"]}
+    return model, variables, meta
+
+
+def _bucket_hw(h: int, w: int, multiple: int) -> Tuple[int, int]:
+    return -(-h // multiple) * multiple, -(-w // multiple) * multiple
+
+
+def predict_paths(model, variables, image_paths: Sequence[str],
+                  out_dir: str, dataset: str = "voc", *,
+                  bucket: int = 128, fusion_mode: str = "mean",
+                  scales: Sequence[float] = (1.0,), flip: bool = False,
+                  save_color: bool = True, save_ids: bool = False,
+                  fused: bool = True) -> list:
+    """Predict class maps for arbitrary image files; returns written paths.
+
+    Images ship as raw uint8 (the device normalizes — uint8 input
+    pipeline) padded to `bucket` multiples, predictions are cropped back
+    to the native size. `<stem>_color.png` is the dataset-palette
+    rendering (the reference test.py colormap dumps); `<stem>_ids.png`
+    is the raw class-id map (deployment consumers)."""
+    from PIL import Image
+
+    from ..utils.viz import Label2Color, color_map
+    from .predictor import Predictor
+
+    predictor = Predictor(model, variables, fusion_mode=fusion_mode,
+                          flip=flip, scales=scales, fused=fused)
+    to_color = Label2Color(color_map(dataset))
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for p in image_paths:
+        img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+        h, w = img.shape[:2]
+        hb, wb = _bucket_hw(h, w, bucket)
+        padded = np.pad(img, ((0, hb - h), (0, wb - w), (0, 0)))
+        preds = np.asarray(predictor.predict_labels(padded[None]))[0]
+        preds = preds[:h, :w].astype(np.uint8)
+        stem = os.path.splitext(os.path.basename(p))[0]
+        if save_ids:
+            out = os.path.join(out_dir, f"{stem}_ids.png")
+            Image.fromarray(preds, mode="L").save(out)
+            written.append(out)
+        if save_color:
+            out = os.path.join(out_dir, f"{stem}_color.png")
+            Image.fromarray(to_color(preds).astype(np.uint8)).save(out)
+            written.append(out)
+    return written
+
+
+def collect_images(images: str) -> list:
+    """A file, or every image file directly inside a directory."""
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+    if os.path.isfile(images):
+        return [images]
+    if os.path.isdir(images):
+        files = sorted(
+            os.path.join(images, f) for f in os.listdir(images)
+            if f.lower().endswith(exts))
+        if not files:
+            raise FileNotFoundError(f"no image files in {images!r}")
+        return files
+    raise FileNotFoundError(images)
