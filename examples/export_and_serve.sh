@@ -12,9 +12,11 @@ cd "$(dirname "$0")/.."
 CKPT=${1:-checkpoints/step/15-5s-voc_UCD_5}
 
 # --backbone etc. describe the trained architecture (same flags as train);
-# params are cast to bf16 (pass --export_dtype float32 for exact f32)
+# the per-step class list is read from the checkpoint's classifier heads,
+# so --task/--step need not be repeated; params are cast to bf16 (pass
+# --export_dtype float32 for exact f32)
 python -m ucd_tpu.cli export --ckpt "$CKPT" --out model.npz \
-    --dataset voc --task 15-5s --backbone resnet101 --no_pretrained
+    --dataset voc --backbone resnet101 --no_pretrained
 
 # serving: fused upsample+argmax kernel, mixed image sizes pad into
 # 128-multiple shape buckets (a handful of XLA compiles for a whole dir)

@@ -49,6 +49,8 @@ def test_export_meta_and_size(exported):
     assert meta["format"] == "ucd_tpu.inference.v1"
     assert meta["classes"] == list(cfg.classes_per_step)
     assert meta["backbone"] == "resnet50"
+    assert meta["stem_s2d"] is False
+    assert meta["path"] == out
     assert meta["bf16_keys"], "bf16 export should cast float params"
     # inference npz carries no optimizer/regularizer state: it must be
     # well under the f32 param bytes (bf16 halves params, drops momentum)
@@ -107,6 +109,83 @@ def test_predict_paths_writes_pngs(exported, tmp_path):
     assert color.size == (61, 50)  # cropped back to native size
     ids = np.asarray(Image.open(tmp_path / "out" / "a_ids.png"))
     assert ids.shape == (50, 61) and ids.max() < cfg.tot_classes
+
+
+def test_classes_derived_from_checkpoint_not_flags(tmp_path, capsys):
+    """A stale/defaulted --task/--step cannot mis-describe the export: the
+    per-step class list is read off the checkpoint's cls_{i} kernels. (As
+    first shipped, exporting a step-5 checkpoint with a defaulted step=0
+    cfg packed classes=[16]; Flax apply then silently dropped the extra
+    heads and predictions never contained the incremental classes.)"""
+    cfg1 = config.make_config(
+        dataset="voc", task="15-5", step=1, method="FT", epochs=1,
+        batch_size=2, crop_size=32, backbone="resnet50", dtype="float32",
+        pretrained=False, overlap=True, pooling=4, debug=True)
+    model1 = make_model(cfg1)  # heads (16, 5)
+    state1, _ = build_train_state(cfg1, model1, jax.random.key(1), 4,
+                                  input_shape=(1, 32, 32, 3))
+    ckpt = os.path.join(tmp_path, "ckpt_step1")
+    save_checkpoint(ckpt, state1, epoch=0, best_score=0.0)
+
+    # export with a WRONG (step-0) cfg: classes must still come out right
+    meta = export_inference(ckpt, os.path.join(tmp_path, "m.npz"),
+                            _small_cfg(), export_dtype="float32")
+    assert meta["classes"] == list(cfg1.classes_per_step) == [16, 5]
+    assert "using the checkpoint's" in capsys.readouterr().out
+
+    ex_model, ex_vars, _ = load_inference(meta["path"])
+    assert ex_model.classes == (16, 5)
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), np.uint8)
+    want = np.asarray(
+        Predictor(model1, {"params": state1.params,
+                           "batch_stats": state1.batch_stats},
+                  fused=False).predict_labels(img))
+    got = np.asarray(Predictor(ex_model, ex_vars,
+                               fused=False).predict_labels(img))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_export_path_without_npz_suffix(exported, tmp_path):
+    """np.savez silently appends .npz; the reported path must match the
+    written file so a follow-up predict --model <path> finds it."""
+    cfg, model, variables, out, meta, d = exported
+    meta2 = export_inference(os.path.join(d, "ckpt"),
+                             str(tmp_path / "model"), cfg,
+                             export_dtype="float32")
+    assert meta2["path"].endswith("model.npz")
+    assert os.path.exists(meta2["path"])
+    load_inference(meta2["path"])
+
+
+def test_predict_paths_stem_collision(exported, tmp_path):
+    """a.png and a.jpg in one input directory must not clobber each
+    other's prediction files."""
+    cfg, model, variables, out, meta, d = exported
+    ex_model, ex_vars, _ = load_inference(out)
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    rng = np.random.RandomState(4)
+    for name in ("a.png", "a.jpg"):
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(
+            imgdir / name)
+    written = predict_paths(ex_model, ex_vars, collect_images(str(imgdir)),
+                            str(tmp_path / "out"), dataset=meta["dataset"],
+                            bucket=64, save_ids=True, fused=False)
+    assert len(written) == len(set(written)) == 4
+    assert all(os.path.exists(p) for p in written)
+
+
+def test_city_domain_palette():
+    """predict over a city_domain export must not crash on the palette
+    (train-ids 0..18; 0 = road = the full palette's entry 1)."""
+    from ucd_tpu.utils.viz import (CITYSCAPES_COLORS, Label2Color,
+                                   color_map)
+    cmap = color_map("city_domain")
+    assert tuple(cmap[0]) == CITYSCAPES_COLORS[1]  # road
+    assert tuple(cmap[18]) == CITYSCAPES_COLORS[19]
+    assert tuple(cmap[255]) == (0, 0, 0)  # void
+    out = Label2Color(cmap)(np.array([[0, 18, 255]]))
+    assert out.shape == (1, 3, 3)
 
 
 def test_cli_export_and_predict(exported, tmp_path, capsys):

@@ -339,8 +339,9 @@ def main(argv=None):
                 "export needs --ckpt (or --step_ckpt) naming the step "
                 "checkpoint to pack")
         meta = export_inference(ckpt, args.out, cfg, args.export_dtype)
-        print(f"exported {args.out}: {meta['backbone']} os{meta['output_stride']} "
-              f"classes={meta['classes']} dtype={meta['dtype']}")
+        print(f"exported {meta['path']}: {meta['backbone']} "
+              f"os{meta['output_stride']} classes={meta['classes']} "
+              f"dtype={meta['dtype']}")
         return 0
 
     if args.command == "train":

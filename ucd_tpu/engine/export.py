@@ -29,35 +29,49 @@ import numpy as np
 _META_KEY = "__ucd_tpu_meta__"
 
 
-def _flatten(tree: dict, prefix: str = "") -> dict:
-    out = {}
-    for k, v in tree.items():
-        key = f"{prefix}/{k}" if prefix else str(k)
-        if isinstance(v, dict):
-            out.update(_flatten(v, key))
-        else:
-            out[key] = np.asarray(v)
-    return out
+def _flatten(tree: dict) -> dict:
+    from flax.traverse_util import flatten_dict
+    return {k: np.asarray(v)
+            for k, v in flatten_dict(tree, sep="/").items()}
 
 
 def _unflatten(flat: dict) -> dict:
-    tree: dict = {}
-    for key, v in flat.items():
-        node = tree
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
-    return tree
+    from flax.traverse_util import unflatten_dict
+    return unflatten_dict(flat, sep="/")
+
+
+def _classes_from_params(params: dict) -> Tuple[list, Optional[int]]:
+    """(per-step class counts, head channels) read off the cls_{i} 1x1 conv
+    kernels — the checkpoint itself is the source of truth for the class
+    list; trusting CLI flags here would let a defaulted --step silently
+    export a model whose extra classifier heads Flax then drops at apply
+    time (round-3 review finding)."""
+    steps = sorted(int(k.split("_", 1)[1]) for k in params
+                   if isinstance(k, str) and k.startswith("cls_"))
+    if steps != list(range(len(steps))):
+        raise ValueError(f"non-contiguous classifier heads in checkpoint: "
+                         f"cls_{steps}")
+    classes, head_ch = [], None
+    for i in steps:
+        kern = np.asarray(params[f"cls_{i}"]["kernel"])
+        classes.append(int(kern.shape[-1]))
+        head_ch = int(kern.shape[-2])
+    return classes, head_ch
 
 
 def export_inference(ckpt_path: str, out_path: str, cfg,
                      export_dtype: str = "bfloat16") -> dict:
-    """Checkpoint dir -> standalone inference npz. Returns the meta dict.
+    """Checkpoint dir -> standalone inference npz. Returns the meta dict
+    (with the actually-written path under "path").
 
     Float PARAMS are cast to `export_dtype`; batch_stats stay f32 (BN
     running statistics are accumulated quantities — bf16 rounding there
-    costs accuracy for zero speed: inference reads them once per layer)."""
+    costs accuracy for zero speed: inference reads them once per layer).
+
+    The per-step class list and head width are DERIVED from the
+    checkpoint's classifier kernels, not from cfg: a stale --task/--step
+    cannot mis-describe the model (cfg still supplies what the param tree
+    cannot express: backbone name, output stride, pooling, palette)."""
     from .checkpoint import check_schema, load_checkpoint
 
     import ml_dtypes
@@ -67,6 +81,13 @@ def export_inference(ckpt_path: str, out_path: str, cfg,
         raise FileNotFoundError(f"no checkpoint at {ckpt_path!r}")
     check_schema(raw, ckpt_path)
     ms = raw["model_state"]
+    classes, head_channels = _classes_from_params(ms["params"])
+    if not classes:
+        raise ValueError(f"checkpoint at {ckpt_path!r} has no cls_* heads")
+    if list(cfg.classes_per_step) != classes:
+        print(f"[export] note: checkpoint has per-step classes {classes} "
+              f"(flags implied {list(cfg.classes_per_step)}); "
+              "using the checkpoint's")
 
     # npz cannot store bfloat16: bf16 leaves ship as uint16 bit patterns,
     # with the affected keys recorded in the meta header
@@ -74,7 +95,6 @@ def export_inference(ckpt_path: str, out_path: str, cfg,
     flat = {}
     for k, v in _flatten(ms["params"]).items():
         key = f"params/{k}"
-        v = np.asarray(v)
         if export_dtype == "bfloat16" and np.issubdtype(v.dtype,
                                                         np.floating):
             v = v.astype(ml_dtypes.bfloat16).view(np.uint16)
@@ -88,18 +108,21 @@ def export_inference(ckpt_path: str, out_path: str, cfg,
         "format": "ucd_tpu.inference.v1",
         "backbone": cfg.backbone,
         "output_stride": cfg.output_stride,
-        "classes": list(cfg.classes_per_step),
-        "head_channels": cfg.head_channels,
+        "classes": classes,
+        "head_channels": head_channels,
         "pooling": cfg.pooling,
+        "stem_s2d": bool(getattr(cfg, "stem_s2d", False)),
         "dataset": cfg.dataset,
         "dtype": export_dtype,
     }
     # JSON header as a uint8 array: np.savez stores it losslessly and the
     # loader needs no side-channel file
     flat[_META_KEY] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    if not out_path.endswith(".npz"):
+        out_path += ".npz"  # np.savez appends it silently; keep paths honest
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     np.savez(out_path, **flat)
-    return meta
+    return dict(meta, path=out_path)
 
 
 def load_inference(path: str):
@@ -127,6 +150,7 @@ def load_inference(path: str):
         output_stride=meta["output_stride"],
         head_channels=meta["head_channels"],
         pooling_size=meta["pooling"],
+        stem_s2d=meta.get("stem_s2d", False),
         dtype=dtype,
     )
     variables = {"params": tree["params"],
@@ -153,14 +177,20 @@ def predict_paths(model, variables, image_paths: Sequence[str],
     is the raw class-id map (deployment consumers)."""
     from PIL import Image
 
+    from ..ops.fused_loss import _on_tpu
     from ..utils.viz import Label2Color, color_map
     from .predictor import Predictor
 
+    # the fused upsample+argmax kernel only pays off on real TPU hardware;
+    # off-TPU it would run in Mosaic interpret mode — orders of magnitude
+    # slower than the dense argmax a CPU/GPU serving host wants
     predictor = Predictor(model, variables, fusion_mode=fusion_mode,
-                          flip=flip, scales=scales, fused=fused)
+                          flip=flip, scales=scales,
+                          fused=fused and _on_tpu())
     to_color = Label2Color(color_map(dataset))
     os.makedirs(out_dir, exist_ok=True)
     written = []
+    used_stems: dict = {}
     for p in image_paths:
         img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
         h, w = img.shape[:2]
@@ -169,6 +199,11 @@ def predict_paths(model, variables, image_paths: Sequence[str],
         preds = np.asarray(predictor.predict_labels(padded[None]))[0]
         preds = preds[:h, :w].astype(np.uint8)
         stem = os.path.splitext(os.path.basename(p))[0]
+        # a.png and a.jpg in one directory must not clobber each other
+        k = used_stems.get(stem, 0)
+        used_stems[stem] = k + 1
+        if k:
+            stem = f"{stem}_{k}"
         if save_ids:
             out = os.path.join(out_dir, f"{stem}_ids.png")
             Image.fromarray(preds, mode="L").save(out)

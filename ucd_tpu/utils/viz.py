@@ -78,14 +78,28 @@ def cityscapes_cmap() -> np.ndarray:
     return cmap
 
 
+def cityscapes_train_id_cmap() -> np.ndarray:
+    """Palette for the 19 Cityscapes TRAIN ids (the domain-incremental
+    label space, data/datasets.py city_domain): train-id i = the full
+    palette's entry i+1 — CITYSCAPES_COLORS[0] is the background/void
+    entry of the 20-class incremental space, which train-id labels do
+    not contain (train-id 0 is road). Void/255 stays black."""
+    cmap = np.zeros((256, 3), dtype=np.uint8)
+    cmap[:19] = np.array(CITYSCAPES_COLORS[1:20], np.uint8)
+    return cmap
+
+
 def color_map(dataset: str) -> np.ndarray:
-    """reference utils/utils.py:37-44."""
+    """reference utils/utils.py:37-44 (+ the city_domain family the
+    reference left unreachable)."""
     if dataset == "voc":
         return voc_cmap()
     if dataset == "ade":
         return ade_cmap()
     if dataset == "city":
         return cityscapes_cmap()
+    if dataset == "city_domain":
+        return cityscapes_train_id_cmap()
     raise NotImplementedError(dataset)
 
 
