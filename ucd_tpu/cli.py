@@ -178,6 +178,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--logdir", default="./logs")
     p.add_argument("--name", default="Experiment")
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--async_ckpt", action="store_true", default=False,
+                   help="write checkpoints on a background thread (the "
+                        "epoch loop never blocks on serialization/disk)")
     p.add_argument("--auto_resume", action="store_true", default=False,
                    help="resume from this step's own checkpoint if present "
                         "(unattended restart after preemption)")
@@ -248,7 +251,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         test_scales=tuple(float(s) for s in args.test_scales.split(",")),
         test_flip=args.test_flip,
         print_interval=args.print_interval, logdir=args.logdir,
-        name=args.name, ckpt=args.ckpt, auto_resume=args.auto_resume,
+        name=args.name, ckpt=args.ckpt, async_ckpt=args.async_ckpt,
+        auto_resume=args.auto_resume,
         step_ckpt=args.step_ckpt,
         ckpt_dir=args.ckpt_dir, test_only=args.test_only,
         sample_num=args.sample_num, debug=args.debug,

@@ -165,6 +165,11 @@ class Config:
     logdir: str = "./logs"
     name: str = "Experiment"
     ckpt_dir: str = "checkpoints/step"
+    async_ckpt: bool = False       # write checkpoints on a background thread
+                                   # (state snapshotted at save time; the
+                                   # epoch loop never blocks on orbax
+                                   # serialization/disk. NEW vs reference,
+                                   # whose torch.save blocks run.py:317-322)
     ckpt: Optional[str] = None     # resume path
     auto_resume: bool = False      # resume from ckpt_path() if it exists
                                    # (NEW: the reference requires manual

@@ -10,6 +10,7 @@ restore is a param-tree merge (engine/state.py) instead of strict=False.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Optional
 
 import jax
@@ -21,12 +22,52 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+# ---------------------------------------------------------------------------
+# async write machinery: the payload is snapshotted to host numpy up front
+# (cheap: one device fetch), then the orbax serialization + disk write — the
+# slow part — runs on a background thread so the train loop resumes
+# immediately. One write in flight at a time; a failed write re-raises on the
+# next save/load/wait so errors cannot pass silently.
+# ---------------------------------------------------------------------------
+
+_pending_lock = threading.Lock()
+_pending: Optional[threading.Thread] = None
+_pending_error: Optional[BaseException] = None
+
+
+def wait_pending() -> None:
+    """Block until any in-flight async checkpoint write completes; re-raise
+    its error if it failed. Called automatically before every save/load and
+    by Experiment.close()."""
+    global _pending, _pending_error
+    with _pending_lock:
+        t, _pending = _pending, None
+    if t is not None:
+        t.join()
+    with _pending_lock:
+        err, _pending_error = _pending_error, None
+    if err is not None:
+        raise RuntimeError("async checkpoint write failed") from err
+
+
+def _write(path: str, payload: dict) -> None:
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+
+
 def save_checkpoint(path: str, state, epoch: int, best_score: float,
                     reg_saved: Optional[dict] = None,
-                    reg_full: Optional[dict] = None) -> None:
+                    reg_full: Optional[dict] = None,
+                    async_write: bool = False) -> None:
     """Write the step checkpoint (reference run.py:32-43). `reg_saved` is the
     cross-step export (next step's importance weights); `reg_full` is the raw
-    mid-step accumulator snapshot for same-step --ckpt resume."""
+    mid-step accumulator snapshot for same-step --ckpt resume.
+
+    With `async_write`, the device->host snapshot happens eagerly (so the
+    saved state is the state at call time) but serialization + disk I/O run
+    on a background non-daemon thread — training continues during the write
+    and the interpreter waits for durability at exit. NEW vs the reference,
+    whose torch.save blocks the epoch loop (run.py:317-322)."""
     path = os.path.abspath(path)
     payload = {
         "epoch": np.asarray(epoch),
@@ -45,8 +86,24 @@ def save_checkpoint(path: str, state, epoch: int, best_score: float,
         trainer_state["regularizer_full"] = _to_numpy(reg_full)
     if trainer_state:
         payload["trainer_state"] = trainer_state
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, payload, force=True)
+    wait_pending()  # serialize writes; surface any prior failure here
+    if not async_write:
+        _write(path, payload)
+        return
+
+    def run():
+        global _pending_error
+        try:
+            _write(path, payload)
+        except BaseException as e:  # surfaced by the next wait_pending()
+            with _pending_lock:
+                _pending_error = e
+
+    global _pending
+    t = threading.Thread(target=run, name="ucd-ckpt-write", daemon=False)
+    with _pending_lock:
+        _pending = t
+    t.start()
 
 
 _SCHEMA = ("epoch", "best_score", "model_state", "optimizer_state", "step")
@@ -110,6 +167,7 @@ def restore_like(template, raw):
 
 
 def load_checkpoint(path: str) -> Optional[dict]:
+    wait_pending()  # a restore must see the completed in-flight write
     path = os.path.abspath(path)
     if not os.path.exists(path):
         return None
