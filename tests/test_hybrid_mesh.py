@@ -1,0 +1,76 @@
+"""Hybrid (multislice/multi-host) 2-D mesh device ordering.
+
+The model axis must stay within one ICI domain (slice/host) so its per-layer
+collectives never cross DCN; only the data axis's once-per-step gradient
+all-reduce may span slices (parallel/mesh.py:make_mesh_2d_hybrid; the
+reference's NCCL world is flat and has no such distinction,
+/root/reference/run.py:117-124).
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+import jax
+
+from ucd_tpu.parallel import (DATA_AXIS, MODEL_AXIS, make_mesh_2d_hybrid)
+from ucd_tpu.parallel.mesh import _hybrid_device_order
+
+
+def fake_dev(i, slice_index=None, process_index=0):
+    d = types.SimpleNamespace(id=i, process_index=process_index)
+    if slice_index is not None:
+        d.slice_index = slice_index
+    return d
+
+
+def test_order_groups_model_axis_within_slice():
+    # 2 slices x 4 devices, enumeration interleaved across slices (the
+    # adversarial order jax.devices() could return on multislice)
+    devs = [fake_dev(i, slice_index=i % 2) for i in range(8)]
+    ordered = _hybrid_device_order(devs, n_model=4)
+    rows = [ordered[r * 4:(r + 1) * 4] for r in range(2)]
+    for row in rows:
+        assert len({d.slice_index for d in row}) == 1, (
+            "model group straddles a slice boundary")
+    assert {rows[0][0].slice_index, rows[1][0].slice_index} == {0, 1}
+
+
+def test_order_falls_back_to_process_index():
+    devs = [fake_dev(i, process_index=i // 2) for i in range(8)]
+    ordered = _hybrid_device_order(devs, n_model=2)
+    for r in range(4):
+        row = ordered[r * 2:(r + 1) * 2]
+        assert len({d.process_index for d in row}) == 1
+
+
+def test_straddle_is_refused():
+    # 3 devices per slice cannot host n_model=2 without straddling
+    devs = [fake_dev(i, slice_index=i // 3) for i in range(6)]
+    with pytest.raises(ValueError, match="cannot stay within one ICI"):
+        _hybrid_device_order(devs, n_model=2)
+
+
+def test_indivisible_device_count_refused():
+    with pytest.raises(ValueError, match="must divide"):
+        make_mesh_2d_hybrid(3)
+
+
+def test_hybrid_mesh_executes_on_cpu_mesh():
+    # single host: reduces to the plain 2-D mesh; a psum over each axis
+    # must see the right group sizes
+    mesh = make_mesh_2d_hybrid(2)
+    assert mesh.shape == {DATA_AXIS: jax.device_count() // 2, MODEL_AXIS: 2}
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @jax.jit
+    def f(x):
+        return x.sum()
+
+    x = jax.device_put(
+        np.arange(mesh.size, dtype=np.float32).reshape(mesh.shape[DATA_AXIS],
+                                                       2),
+        NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
+    assert float(f(x)) == float(np.arange(mesh.size).sum())

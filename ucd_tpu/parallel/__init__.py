@@ -6,6 +6,7 @@ from .mesh import (
     channel_sharding,
     make_mesh,
     make_mesh_2d,
+    make_mesh_2d_hybrid,
     make_mesh_for_batch,
     make_mesh_multiprocess,
     replicate,
@@ -15,5 +16,6 @@ from .mesh import (
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "channel_sharding",
            "local_batch_size", "make_mesh", "make_mesh_2d",
-           "make_mesh_for_batch", "make_mesh_multiprocess", "maybe_initialize", "replicate",
+           "make_mesh_2d_hybrid", "make_mesh_for_batch",
+           "make_mesh_multiprocess", "maybe_initialize", "replicate",
            "replicated", "shard_batch"]

@@ -5,8 +5,10 @@ TPU-native replacement of the reference's distributed substrate
 SURVEY.md §2.4): a 1-D data-parallel mesh over ICI. Gradients, sync-BN batch
 statistics and the eval confusion matrix all reduce through XLA collectives
 inserted by the SPMD partitioner — there are no explicit allreduce calls
-anywhere in the framework. Multislice scale-out (DCN) needs no code change:
-data parallelism's single gradient all-reduce per step is DCN-tolerant.
+anywhere in the framework. Multislice scale-out (DCN): pure DP needs no code
+change (the single gradient all-reduce per step is DCN-tolerant); the 2-D
+data x model mesh uses `make_mesh_2d_hybrid`, which orders devices so the
+model axis stays within one slice (ICI) and only the data axis crosses DCN.
 """
 
 from __future__ import annotations
@@ -79,6 +81,49 @@ def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
     assert len(devices) == n_data * n_model, (
         f"need {n_data * n_model} devices, have {len(jax.devices())}")
     return Mesh(np.array(devices).reshape(n_data, n_model),
+                (DATA_AXIS, MODEL_AXIS))
+
+
+def _hybrid_device_order(devices, n_model: int):
+    """Order devices so each contiguous `n_model`-sized model group lives on
+    ONE slice/host: the model axis's per-layer collectives (channel-sharded
+    matmul reduce-scatters) ride ICI, and only the data axis's once-per-step
+    gradient all-reduce crosses DCN. Grouping key: `slice_index` on
+    multislice TPU, else `process_index` (multi-host CPU/GPU). Raises if
+    any group would straddle a boundary — a silent straddle would put the
+    hot collective on DCN, the exact failure this ordering exists to
+    prevent (scaling-book recipe; cf. reference NCCL flat world,
+    /root/reference/run.py:117-124, which has no such distinction)."""
+    def key(d):
+        s = getattr(d, "slice_index", None)
+        return s if s is not None else getattr(d, "process_index", 0)
+
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(key(d), []).append(d)
+    for k, g in groups.items():
+        if len(g) % n_model != 0:
+            raise ValueError(
+                f"hybrid mesh: slice/host {k} has {len(g)} devices, not a "
+                f"multiple of n_model={n_model}; the model axis cannot stay "
+                f"within one ICI domain")
+    return [d for k in sorted(groups) for d in groups[k]]
+
+
+def make_mesh_2d_hybrid(n_model: int, devices=None) -> Mesh:
+    """2-D (data x model) mesh for multislice / multi-host topologies.
+
+    Same axes as `make_mesh_2d`, but the device order guarantees the model
+    axis is ICI-local (within one slice) while the data axis spans slices
+    over DCN — data parallelism's single gradient all-reduce per step is
+    the only DCN-tolerant collective in this workload. On a single slice
+    this reduces exactly to `make_mesh_2d(n/n_model, n_model)`."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if n_model < 1 or len(devices) % n_model != 0:
+        raise ValueError(
+            f"n_model={n_model} must divide the device count {len(devices)}")
+    ordered = _hybrid_device_order(devices, n_model)
+    return Mesh(np.array(ordered).reshape(-1, n_model),
                 (DATA_AXIS, MODEL_AXIS))
 
 
