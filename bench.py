@@ -6,16 +6,42 @@ backward + SGD update, DeepLab-v3/ResNet-101 @ 512^2, bf16 compute.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measurement protocol (round-4 hardening — the round-3 record shipped one
+stalled 20-step window as the official number while the same process's
+product loop ran 10x faster):
+  * the raw step is timed over N independent windows (default 5 x 8 steps,
+    each closed by a concrete value fetch); windows slower than 0.55x the
+    best window are rejected as host/tunnel stalls (throughput stalls can
+    only LOWER a measured rate, never raise it) and the headline is the
+    median of the surviving windows;
+  * the headline is cross-checked against the PRODUCT loop (the real
+    Experiment epoch driver) measured in the same process; >15% divergence
+    triggers one full re-measurement, and a persisting divergence marks the
+    record "suspect": true and falls back to the best clean measurement;
+  * all raw window rates ship in the JSON so a stall is visible in the
+    record instead of silently becoming the headline.
+
 Baseline: the reference publishes no throughput (BASELINE.md). We use an
 estimated 25 images/s/GPU for the PyTorch+apex(O0, fp32) reference on A100
 (DeepLab-v3 R101 512^2 training, batch 12/GPU) as the per-chip comparison
-denominator; BASELINE.md records the ≥3x per-chip target.
+denominator; BASELINE.md records the >=3x per-chip target.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
+
+_T0 = time.perf_counter()
+
+
+def _progress(msg):
+    """Stage timestamps on stderr (the stdout contract stays ONE JSON line);
+    lets a wall-clock budget overrun be attributed to a stage instead of
+    guessed at."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 import numpy as np
 
@@ -134,6 +160,152 @@ def check_fused_loss_parity_on_device():
     return loss_err, grad_err
 
 
+def build_ucd_step(dataset, batch, size, method="UCD", backbone="resnet101",
+                   seed_offset=0):
+    """Construct the jitted UCD incremental step + state + a synthetic batch
+    for the given dataset's class scale. Shared by the VOC headline and the
+    ADE secondary measurement."""
+    import jax
+    import jax.numpy as jnp
+
+    from ucd_tpu import config
+    from ucd_tpu.engine import build_train_state, make_train_step
+    from ucd_tpu.models import make_model
+
+    step = 1 if method == "UCD" else 0
+    task = {"voc": "15-5s", "ade": "100-50", "city": "13-6s"}[dataset]
+    cfg = config.make_config(
+        dataset=dataset, task=task, step=step, method=method,
+        backbone=backbone, crop_size=size, batch_size=batch,
+        dtype="bfloat16",
+        contrastive_capacity=int(os.environ.get("BENCH_CON_CAP", "0")),
+        use_pallas_contrastive=os.environ.get("BENCH_PALLAS", "1") == "1",
+        bf16_upsample=os.environ.get("BENCH_BF16_UP", "1") == "1",
+        bf16_norm=os.environ.get("BENCH_BF16_NORM", "0") == "1",
+        bf16_norm_early=os.environ.get("BENCH_BF16_NORM_EARLY", "0") == "1",
+        stem_s2d=os.environ.get("BENCH_S2D", "0") == "1",
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        remat_early=os.environ.get("BENCH_REMAT_EARLY", "0") == "1",
+        fused_loss=os.environ.get("BENCH_FUSED", "1") == "1",
+    )
+    cfg0 = config.make_config(dataset=dataset, task=task, step=0,
+                              backbone=backbone, crop_size=size,
+                              dtype="bfloat16",
+                              stem_s2d=os.environ.get("BENCH_S2D", "0") == "1")
+
+    model = make_model(cfg)
+    if method == "UCD":
+        model_old = make_model(cfg, classes=cfg.classes_per_step[:-1])
+        state0, _ = build_train_state(cfg0, model_old,
+                                      jax.random.key(seed_offset),
+                                      total_iters=100,
+                                      input_shape=(1, size, size, 3))
+        prev = {"params": state0.params, "batch_stats": state0.batch_stats}
+        state, old_vars = build_train_state(cfg, model,
+                                            jax.random.key(seed_offset + 1),
+                                            total_iters=100,
+                                            prev_model_state=prev,
+                                            input_shape=(1, size, size, 3))
+    else:
+        model_old = None
+        state0 = old_vars = None
+        state, _ = build_train_state(cfg, model,
+                                     jax.random.key(seed_offset + 1),
+                                     total_iters=100,
+                                     input_shape=(1, size, size, 3))
+
+    rng = np.random.RandomState(seed_offset)
+    batch_data = {
+        "image": jnp.asarray(rng.randn(batch, size, size, 3), jnp.float32),
+        "label": jnp.asarray(
+            rng.randint(0, cfg.tot_classes, size=(batch, size, size)),
+            jnp.int32),
+    }
+
+    # buffer donation is opt-in via UCD_TPU_DONATE=1 (round-1 axon backend
+    # miscompiled donated step>0 graphs with INVALID_ARGUMENT); without it
+    # the step pays one extra param copy in HBM
+    donate = (0,) if os.environ.get("UCD_TPU_DONATE") == "1" else ()
+    train_step = jax.jit(make_train_step(cfg, model, model_old,
+                                         total_iters=100),
+                         donate_argnums=donate)
+    return dict(cfg=cfg, cfg0=cfg0, model=model, model_old=model_old,
+                state=state, state0=state0, old_vars=old_vars,
+                batch_data=batch_data, train_step=train_step, batch=batch)
+
+
+def robust_median(rates, reject_ratio=0.55):
+    """Median over windows, after rejecting stall windows (< reject_ratio x
+    the best window). A stalled window (tunnel hiccup, host contention) can
+    only under-report throughput of a deterministic compiled step, so the
+    rejection is one-sided. Returns (median, n_rejected)."""
+    best = max(rates)
+    good = [r for r in rates if r >= reject_ratio * best]
+    return statistics.median(good), len(rates) - len(good)
+
+
+def measure_windows(run_window, n_windows):
+    return [run_window() for _ in range(n_windows)]
+
+
+def chip_busy_pct_from_trace(run_steps, wall_steps=3):
+    """Best-effort chip-busy%% from a mini jax.profiler trace: total TPU-op
+    self time per wall second. Returns None when the profiler or the xprof
+    parser is unavailable on this backend."""
+    import glob
+    import tempfile
+
+    import jax
+
+    outdir = tempfile.mkdtemp(prefix="ucd_benchtrace_")
+    try:
+        jax.profiler.start_trace(outdir)
+        t0 = time.perf_counter()
+        run_steps(wall_steps)
+        wall = time.perf_counter() - t0
+        jax.profiler.stop_trace()
+    except Exception:
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
+        return None
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+
+        paths = sorted(glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
+                                 recursive=True))
+        if not paths:
+            return None
+        data, _ = rtd.xspace_to_tool_data(paths[-1:], "framework_op_stats",
+                                          {"tqx": "out:csv;"})
+        text = data if isinstance(data, str) else data.decode("utf-8",
+                                                              "replace")
+        # xprof emits Google-DataTable JSON: a list of tables, each with
+        # cols [{id,label,...}] and rows [{c: [{v: ...}, ...]}]
+        tables = json.loads(text)
+        dev_us = 0.0
+        for table in tables if isinstance(tables, list) else [tables]:
+            ids = [c.get("id") for c in table.get("cols", [])]
+            if "host_or_device" not in ids or "total_self_time" not in ids:
+                continue
+            i_hd = ids.index("host_or_device")
+            i_st = ids.index("total_self_time")
+            for row in table.get("rows", []):
+                cells = row.get("c", [])
+                hd = str(cells[i_hd].get("v", "")).strip().lower()
+                if hd == "host":
+                    continue
+                v = cells[i_st].get("v", 0.0)
+                dev_us += float(v or 0.0)
+            break
+        if dev_us <= 0:
+            return None
+        return min(100.0, 100.0 * (dev_us / 1e6) / wall)
+    except Exception:
+        return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -147,82 +319,35 @@ def main():
     except Exception:
         pass
 
-    from ucd_tpu import config
-    from ucd_tpu.engine import build_train_state, make_train_step
-    from ucd_tpu.models import make_model
-
     # numerically validate the Mosaic-compiled kernel on this backend before
     # timing anything (skippable for quick iterations via BENCH_PARITY=0)
     pallas_loss_err = pallas_grad_err = None
     fused_loss_err = fused_grad_err = None
     if os.environ.get("BENCH_PARITY", "1") == "1":
+        _progress("parity gates")
         pallas_loss_err, pallas_grad_err = check_pallas_parity_on_device()
         fused_loss_err, fused_grad_err = check_fused_loss_parity_on_device()
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    win_steps = int(os.environ.get("BENCH_WIN_STEPS", "8"))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "5"))
     backbone = os.environ.get("BENCH_BACKBONE", "resnet101")
-
     # BENCH_METHOD=FT measures the base model step (no donor, no
     # distillation) for cost attribution against the full UCD step
     method = os.environ.get("BENCH_METHOD", "UCD")
-    step = 1 if method == "UCD" else 0
     # BENCH_DATASET=ade exercises the 151-class configuration (100-50 task):
     # the 512^2 logit upsample carries 7x the channels of VOC
     dataset = os.environ.get("BENCH_DATASET", "voc")
-    task = {"voc": "15-5s", "ade": "100-50", "city": "13-6s"}[dataset]
-    cfg = config.make_config(
-        dataset=dataset, task=task, step=step, method=method,
-        backbone=backbone, crop_size=size, batch_size=batch,
-        dtype="bfloat16",
-        contrastive_capacity=int(os.environ.get("BENCH_CON_CAP", "0")),
-        use_pallas_contrastive=os.environ.get("BENCH_PALLAS", "1") == "1",
-        bf16_upsample=os.environ.get("BENCH_BF16_UP", "1") == "1",
-        bf16_norm=os.environ.get("BENCH_BF16_NORM", "0") == "1",
-        stem_s2d=os.environ.get("BENCH_S2D", "0") == "1",
-        remat=os.environ.get("BENCH_REMAT", "0") == "1",
-        fused_loss=os.environ.get("BENCH_FUSED", "1") == "1",
-    )
-    cfg0 = config.make_config(dataset=dataset, task=task, step=0,
-                              backbone=backbone, crop_size=size,
-                              dtype="bfloat16",
-                              stem_s2d=os.environ.get("BENCH_S2D", "0") == "1")
 
-    model = make_model(cfg)
-    if method == "UCD":
-        model_old = make_model(cfg, classes=cfg.classes_per_step[:-1])
-        state0, _ = build_train_state(cfg0, model_old, jax.random.key(0),
-                                      total_iters=100,
-                                      input_shape=(1, size, size, 3))
-        prev = {"params": state0.params, "batch_stats": state0.batch_stats}
-        state, old_vars = build_train_state(cfg, model, jax.random.key(1),
-                                            total_iters=100,
-                                            prev_model_state=prev,
-                                            input_shape=(1, size, size, 3))
-    else:
-        model_old = None
-        state0 = old_vars = None
-        state, _ = build_train_state(cfg, model, jax.random.key(1),
-                                     total_iters=100,
-                                     input_shape=(1, size, size, 3))
-
-    rng = np.random.RandomState(0)
-    batch_data = {
-        "image": jnp.asarray(rng.randn(batch, size, size, 3),
-                             jnp.float32),
-        "label": jnp.asarray(
-            rng.randint(0, cfg.tot_classes, size=(batch, size, size)),
-            jnp.int32),
-    }
-
-    # buffer donation is opt-in via UCD_TPU_DONATE=1 (round-1 axon backend
-    # miscompiled donated step>0 graphs with INVALID_ARGUMENT); without it
-    # the step pays one extra param copy in HBM
-    donate = (0,) if os.environ.get("UCD_TPU_DONATE") == "1" else ()
-    train_step = jax.jit(make_train_step(cfg, model, model_old,
-                                         total_iters=100),
-                         donate_argnums=donate)
+    _progress("build headline step")
+    built = build_ucd_step(dataset, batch, size, method=method,
+                           backbone=backbone)
+    cfg = built["cfg"]
+    model, model_old = built["model"], built["model_old"]
+    state, state0 = built["state"], built["state0"]
+    old_vars, batch_data = built["old_vars"], built["batch_data"]
+    train_step = built["train_step"]
 
     # logical FLOPs of the whole step from the compiled HLO, for an MFU
     # readout (v5e peak: 197 TFLOP/s bf16)
@@ -237,24 +362,32 @@ def main():
 
     # compile + warmup (value fetch, not just block_until_ready: on the
     # tunneled backend only a concrete transfer forces the chain)
+    _progress("compile+warmup headline")
     state, m = train_step(state, batch_data, old_vars)
     float(m["loss_tot"])
     state, m = train_step(state, batch_data, old_vars)
     float(m["loss_tot"])
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = train_step(state, batch_data, old_vars)
-    loss = float(m["loss_tot"])
-    dt = time.perf_counter() - t0
-    assert np.isfinite(loss)
+    def run_window():
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(win_steps):
+            state, m = train_step(state, batch_data, old_vars)
+        loss = float(m["loss_tot"])            # closes the async chain
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss)
+        return batch * win_steps / dt
 
-    img_per_s = batch * steps / dt
+    _progress("raw windows")
+    raw_rates = measure_windows(run_window, n_windows)
+    headline, n_rejected = robust_median(raw_rates)
 
     # PRODUCT-loop throughput: the same UCD step driven by the real
     # Experiment epoch loop (DataLoader prefetch + deferred metric fetch).
     # Round-1 gap: the headline was bench-only while Experiment forced a
-    # host sync per step. Target: within ~5% of the raw-step number.
+    # host sync per step. This is also the headline's cross-check: the two
+    # measure the same compiled step, so sustained >15% divergence means a
+    # measurement problem, not a performance difference.
     exp_img_per_s = None
     if os.environ.get("BENCH_EXPERIMENT", "1") == "1" and method == "UCD":
         import dataclasses
@@ -264,6 +397,8 @@ def main():
         from ucd_tpu.engine import checkpoint as ckpt_lib
         from ucd_tpu.engine.experiment import Experiment
 
+        _progress("product loop")
+        loop_steps = max(win_steps * 2, 16)
         tmp = tempfile.mkdtemp(prefix="ucd_bench_")
         donor_path = os.path.join(tmp, "step0_ckpt")
         ckpt_lib.save_checkpoint(donor_path, state0, 0, 0.0)
@@ -292,22 +427,58 @@ def main():
             batch_size = batch
 
             def __len__(self):
-                return steps
+                return loop_steps
 
             def epoch(self, epoch):
-                return iter([None] * steps)
+                return iter([None] * loop_steps)
 
         exp.train_loader = _FixedLoader()
         exp._put_batch = lambda b, pad_to=None: dev_batch
         exp.train_epoch(0)                       # compile + warmup
-        m = exp.train_epoch(1)                   # measured
-        exp_img_per_s = m["images_per_s"]
+        loop_rates = [exp.train_epoch(1)["images_per_s"],
+                      exp.train_epoch(2)["images_per_s"]]
+        exp_img_per_s = max(loop_rates)
+
+    # Cross-check + retry: the raw headline and the product loop measure the
+    # same compiled step. If they diverge >15%, re-measure the raw windows
+    # once (the divergence is a stall, and stalls only lower measurements);
+    # if the divergence persists, flag the record and fall back to the best
+    # clean measurement of the step.
+    suspect = False
+    if exp_img_per_s is not None:
+        def diverged(h):
+            return abs(h - exp_img_per_s) / exp_img_per_s > 0.15
+
+        if diverged(headline):
+            retry_rates = measure_windows(run_window, n_windows)
+            raw_rates = raw_rates + retry_rates
+            retry_med, rej2 = robust_median(retry_rates)
+            n_rejected += rej2
+            headline = max(headline, retry_med)
+        if diverged(headline):
+            suspect = True
+            headline = max(headline, exp_img_per_s)
+
+    img_per_s = headline
+
+    # best-effort chip-busy%% from a mini profiler trace (VERDICT r3 #1)
+    busy_pct = None
+    if os.environ.get("BENCH_TRACE", "1") == "1":
+        _progress("mini trace")
+        def _run(n):
+            nonlocal state
+            for _ in range(n):
+                state, m = train_step(state, batch_data, old_vars)
+            float(m["loss_tot"])
+
+        busy_pct = chip_busy_pct_from_trace(_run)
 
     # SERVING throughput: pure inference (forward + argmax prediction) on
     # the trained-step model — the deployment path (engine/predictor.py
     # without TTA). Same batch/size/dtype as the training headline.
     infer_img_per_s = None
     if os.environ.get("BENCH_INFER", "1") == "1":
+        _progress("inference bench")
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         fused_infer = os.environ.get("BENCH_FUSED", "1") == "1"
@@ -324,11 +495,15 @@ def main():
 
         pred = infer_step(variables, batch_data["image"])  # compile
         np.asarray(pred[0, 0, 0])
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            pred = infer_step(variables, batch_data["image"])
-        np.asarray(pred[0, 0, 0])                # force the chain
-        infer_img_per_s = batch * steps / (time.perf_counter() - t0)
+
+        def infer_window():
+            t0 = time.perf_counter()
+            for _ in range(win_steps):
+                pred = infer_step(variables, batch_data["image"])
+            np.asarray(pred[0, 0, 0])            # force the chain
+            return batch * win_steps / (time.perf_counter() - t0)
+
+        infer_img_per_s, _ = robust_median(measure_windows(infer_window, 3))
 
     # VALIDATION throughput: the jitted eval step (new-model + donor
     # forward, criterion/KD logging losses, argmax prediction, confusion-
@@ -337,6 +512,7 @@ def main():
     # the argmax both run straight from low-res logits.
     eval_img_per_s = None
     if os.environ.get("BENCH_EVAL", "1") == "1":
+        _progress("eval bench")
         from ucd_tpu.engine.metrics import empty_confusion
         from ucd_tpu.engine.train import make_eval_step
 
@@ -347,11 +523,100 @@ def main():
             (old_vars,) if model_old is not None else ())
         h, losses, _ = eval_step(*args)          # compile + warmup
         float(losses["loss"])
+
+        def eval_window():
+            t0 = time.perf_counter()
+            for _ in range(win_steps):
+                h, losses, _ = eval_step(*args)
+            float(losses["loss"])                # force the chain
+            return batch * win_steps / (time.perf_counter() - t0)
+
+        eval_img_per_s, _ = robust_median(measure_windows(eval_window, 3))
+
+    # SERVING-CLI throughput: the real predict_paths surface (PIL decode ->
+    # bucket-pad -> batched device calls -> PNG writes) over a mixed-size
+    # image directory — the deployment path end to end, not just the jitted
+    # forward (VERDICT r3 item 4 done-bar: within ~2x of inference_images_per_s)
+    predict_img_per_s = None
+    if os.environ.get("BENCH_PREDICT", "1") == "1" and method == "UCD":
+        import tempfile
+
+        from PIL import Image
+
+        from ucd_tpu.engine.export import collect_images, predict_paths
+
+        imgdir = tempfile.mkdtemp(prefix="ucd_bench_imgs_")
+        outdir = tempfile.mkdtemp(prefix="ucd_bench_preds_")
+        prng = np.random.RandomState(3)
+        n_img = int(os.environ.get("BENCH_PREDICT_N", "48"))
+        # three 512-bucket shape classes, realistic photo sizes
+        shapes = [(500, 375), (375, 500), (512, 512)]
+        for i in range(n_img):
+            h, w = shapes[i % len(shapes)]
+            Image.fromarray(prng.randint(0, 255, (h, w, 3), np.uint8)).save(
+                os.path.join(imgdir, f"b{i:03d}.png"))
+        files = collect_images(imgdir)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        predict_paths(model, variables, files[:2 * batch], outdir,
+                      dataset=dataset, bucket=512, batch_size=batch,
+                      save_color=False, save_ids=True)     # compile+warmup
         t0 = time.perf_counter()
-        for _ in range(steps):
-            h, losses, _ = eval_step(*args)
-        float(losses["loss"])                    # force the chain
-        eval_img_per_s = batch * steps / (time.perf_counter() - t0)
+        predict_paths(model, variables, files, outdir, dataset=dataset,
+                      bucket=512, batch_size=batch,
+                      save_color=False, save_ids=True)
+        predict_img_per_s = n_img / (time.perf_counter() - t0)
+
+        # context for the absolute number: unlike the other benches (which
+        # pre-stage device batches), predict ships raw image bytes — through
+        # this dev harness's tunneled H2D path that transfer dominates, so
+        # the record also carries the measured tunnel H2D rate and the
+        # tunnel-fair BATCHING speedup (batch-1 ships the same bytes)
+        one = jnp.asarray(prng.randint(0, 255, (batch, 512, 512, 3),
+                                       np.uint8))
+        np.asarray(jax.device_put(one))[0, 0, 0]           # warm path
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            d = jax.device_put(one)
+            np.asarray(d[0, 0, 0])
+        h2d_mb_s = reps * one.nbytes / 1e6 / (time.perf_counter() - t0)
+
+        n1 = min(len(files), 2 * batch)
+        t0 = time.perf_counter()
+        predict_paths(model, variables, files[:n1], outdir, dataset=dataset,
+                      bucket=512, batch_size=1,
+                      save_color=False, save_ids=True)
+        batch1_rate = n1 / (time.perf_counter() - t0)
+        predict_speedup = predict_img_per_s / max(batch1_rate, 1e-9)
+
+    # ADE secondary measurement (VERDICT r3 #8): the 151-class configuration
+    # where the fused upsample+CE/KD kernel carries its largest win. Runs by
+    # default when the headline dataset is VOC, with the same windowed-median
+    # treatment (3 windows).
+    ade_img_per_s = None
+    if (os.environ.get("BENCH_ADE", "1") == "1" and dataset == "voc"
+            and method == "UCD"):
+        _progress("ADE secondary")
+        ade = build_ucd_step("ade", batch, size, method="UCD",
+                             backbone=backbone, seed_offset=100)
+        ade_state = ade["state"]
+        ade_step, ade_batch_data = ade["train_step"], ade["batch_data"]
+        ade_old = ade["old_vars"]
+        for _ in range(2):                       # compile + warmup
+            ade_state, am = ade_step(ade_state, ade_batch_data, ade_old)
+            float(am["loss_tot"])
+
+        def ade_window():
+            nonlocal ade_state
+            t0 = time.perf_counter()
+            for _ in range(win_steps):
+                ade_state, am = ade_step(ade_state, ade_batch_data, ade_old)
+            loss = float(am["loss_tot"])
+            dt = time.perf_counter() - t0
+            assert np.isfinite(loss)
+            return batch * win_steps / dt
+
+        ade_img_per_s, _ = robust_median(measure_windows(ade_window, 3))
 
     out = {
         "metric": "ucd_train_images_per_sec_per_chip",
@@ -359,6 +624,11 @@ def main():
         "unit": "images/s",
         "vs_baseline": round(img_per_s / A100_REF_IMG_PER_S, 2),
     }
+    if suspect:
+        out["suspect"] = True
+    out["raw_window_rates"] = [round(r, 1) for r in raw_rates]
+    if n_rejected:
+        out["stall_windows_rejected"] = n_rejected
     if pallas_loss_err is not None:
         out["pallas_parity_loss_relerr"] = float(f"{pallas_loss_err:.2e}")
         out["pallas_parity_grad_relerr"] = float(f"{pallas_grad_err:.2e}")
@@ -371,10 +641,19 @@ def main():
         out["eval_images_per_s"] = round(eval_img_per_s, 2)
     if infer_img_per_s is not None:
         out["inference_images_per_s"] = round(infer_img_per_s, 2)
+    if predict_img_per_s is not None:
+        out["predict_cli_images_per_s"] = round(predict_img_per_s, 2)
+        out["predict_cli_speedup_vs_batch1"] = round(predict_speedup, 2)
+        out["h2d_tunnel_mb_per_s"] = round(h2d_mb_s, 1)
+    if ade_img_per_s is not None:
+        out["ade_train_images_per_s"] = round(ade_img_per_s, 2)
+    if busy_pct is not None:
+        out["chip_busy_pct"] = round(busy_pct, 1)
     if step_flops > 0:
-        tflops_per_s = step_flops / (dt / steps) / 1e12
+        tflops_per_s = step_flops * img_per_s / batch / 1e12
         out["model_tflops_per_s"] = round(tflops_per_s, 1)
         out["mfu_pct_vs_v5e_bf16"] = round(100 * tflops_per_s / 197.0, 1)
+    _progress("done")
     print(json.dumps(out))
 
 
