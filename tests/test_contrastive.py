@@ -44,7 +44,12 @@ def torch_prep_oracle(f_n, l_n, l_po, f_o, max_label):
     lbl_a = label_mix[valid].clone()
     lbl_c = torch.cat((lbl_a, label_mix[valid & ~mask_new]))
     A = F.normalize(f_n_[valid], dim=1)
-    Cf = torch.cat((A, F.normalize(f_o_[valid & ~mask_new], dim=1)), dim=0)
+    # the reference detaches the WHOLE contrast concat — including its
+    # anchor copy (utils/utils.py:366) — so gradients flow only through the
+    # anchor operand of the loss; the composed train-step parity test
+    # compares at the gradient level and depends on this
+    Cf = torch.cat((A, F.normalize(f_o_[valid & ~mask_new], dim=1)),
+                   dim=0).detach()
 
     p = torch.softmax(l_po.permute(0, 2, 3, 1), dim=-1).reshape(-1, l_po.shape[1])
     p_a = p[valid]

@@ -36,48 +36,58 @@ def to_nhwc(x):
 
 
 def _t(x):
+    if isinstance(x, torch.Tensor):
+        return x
     return torch.from_numpy(np.asarray(x))
 
 
-def _bn(x, params, stats, eps=1e-5):
-    return F.batch_norm(x, _t(stats["mean"]), _t(stats["var"]),
+def _bn(x, params, stats, eps=1e-5, training=False):
+    # running stats are cloned so training=True's in-place update never
+    # mutates the shared tree; normalization itself uses batch statistics
+    # (biased variance) in training mode, matching flax nn.BatchNorm
+    return F.batch_norm(x, _t(stats["mean"]).clone(), _t(stats["var"]).clone(),
                         _t(params["scale"]), _t(params["bias"]),
-                        training=False, eps=eps)
+                        training=training, eps=eps)
 
 
-def _abn(x, p, s, act=True):
-    x = _bn(x, p["bn"], s["bn"])
+def _abn(x, p, s, act=True, training=False):
+    x = _bn(x, p["bn"], s["bn"], training=training)
     return F.leaky_relu(x, 0.01) if act else x
 
 
 def _cv(x, kernel_hwio, stride=1, dilation=1, bias=None):
-    w = _t(np.transpose(np.asarray(kernel_hwio), (3, 2, 0, 1)))
+    # permute (not numpy transpose) keeps autograd intact when the tree
+    # holds requires_grad torch leaves (composed train-step oracle);
+    # contiguous() because conv2d's backward rejects permuted weight views
+    w = _t(kernel_hwio).permute(3, 2, 0, 1).contiguous()
     k = w.shape[-1]
     pad = dilation * (k - 1) // 2
     return F.conv2d(x, w, bias=None if bias is None else _t(bias),
                     stride=stride, padding=pad, dilation=dilation)
 
 
-def torch_bottleneck(x, p, s, stride, dilation):
+def torch_bottleneck(x, p, s, stride, dilation, training=False):
     """Reference ResidualBlock (modules/residual.py:63-97): identity-act
     final norms, projection shortcut when shapes change, post-add lrelu."""
     if "proj_conv" in p:
         res = _abn(_cv(x, p["proj_conv"]["kernel"], stride=stride),
-                   p["proj_bn"], s["proj_bn"], act=False)
+                   p["proj_bn"], s["proj_bn"], act=False, training=training)
     else:
         res = x
-    y = _abn(_cv(x, p["conv1"]["kernel"]), p["bn1"], s["bn1"])
+    y = _abn(_cv(x, p["conv1"]["kernel"]), p["bn1"], s["bn1"],
+             training=training)
     y = _abn(_cv(y, p["conv2"]["kernel"], stride=stride, dilation=dilation),
-             p["bn2"], s["bn2"])
-    y = _abn(_cv(y, p["conv3"]["kernel"]), p["bn3"], s["bn3"], act=False)
+             p["bn2"], s["bn2"], training=training)
+    y = _abn(_cv(y, p["conv3"]["kernel"]), p["bn3"], s["bn3"], act=False,
+             training=training)
     return F.leaky_relu(y + res, 0.01)
 
 
-def torch_resnet_body(x, p, s, structure, output_stride=16):
+def torch_resnet_body(x, p, s, structure, output_stride=16, training=False):
     """Reference ResNet (models/resnet.py:48-104) from the math."""
     dilation = [1, 1, 1, 2] if output_stride == 16 else [1, 1, 2, 4]
     y = _cv(x, p["mod1_conv1"]["kernel"], stride=2)
-    y = _abn(y, p["mod1_bn1"], s["mod1_bn1"])
+    y = _abn(y, p["mod1_bn1"], s["mod1_bn1"], training=training)
     if dilation[0] == 1:
         y = F.max_pool2d(y, 3, stride=2, padding=1)
     for mod_id, num in enumerate(structure):
@@ -85,12 +95,15 @@ def torch_resnet_body(x, p, s, structure, output_stride=16):
         for block_id in range(num):
             stride = 2 if d == 1 and block_id == 0 and mod_id > 0 else 1
             name = f"mod{mod_id + 2}_block{block_id + 1}"
-            y = torch_bottleneck(y, p[name], s[name], stride, d)
+            y = torch_bottleneck(y, p[name], s[name], stride, d,
+                                 training=training)
     return y
 
 
-def torch_deeplab_head(x, p, s, pooling_size, train=False):
-    """Reference DeeplabV3 ASPP (modules/deeplab.py:54-89), eval path."""
+def torch_deeplab_head(x, p, s, pooling_size, training=False):
+    """Reference DeeplabV3 ASPP (modules/deeplab.py:54-89). Eval path uses
+    the sliding pooling_size average pool; training uses true GAP broadcast
+    (modules/deeplab.py:72-78)."""
     branches = [
         _cv(x, p["map_conv0"]["kernel"]),
         _cv(x, p["map_conv1"]["kernel"], dilation=6),
@@ -98,39 +111,48 @@ def torch_deeplab_head(x, p, s, pooling_size, train=False):
         _cv(x, p["map_conv3"]["kernel"], dilation=18),
     ]
     out = torch.cat(branches, dim=1)
-    out = _abn(out, p["map_bn"], s["map_bn"])
+    out = _abn(out, p["map_bn"], s["map_bn"], training=training)
     out = _cv(out, p["red_conv"]["kernel"])
 
-    h, w = x.shape[2], x.shape[3]
-    ph, pw = min(pooling_size, h), min(pooling_size, w)
-    pool = F.avg_pool2d(x, (ph, pw), stride=1)
-    pl = (pw - 1) // 2
-    pr = pl if pw % 2 == 1 else pl + 1
-    pt = (ph - 1) // 2
-    pb = pt if ph % 2 == 1 else pt + 1
-    pool = F.pad(pool, (pl, pr, pt, pb), mode="replicate")
+    if training:
+        pool = x.mean(dim=(2, 3), keepdim=True)
+    else:
+        h, w = x.shape[2], x.shape[3]
+        ph, pw = min(pooling_size, h), min(pooling_size, w)
+        pool = F.avg_pool2d(x, (ph, pw), stride=1)
+        pl = (pw - 1) // 2
+        pr = pl if pw % 2 == 1 else pl + 1
+        pt = (ph - 1) // 2
+        pb = pt if ph % 2 == 1 else pt + 1
+        pool = F.pad(pool, (pl, pr, pt, pb), mode="replicate")
     pool = _cv(pool, p["global_pooling_conv"]["kernel"])
-    pool = _abn(pool, p["global_pooling_bn"], s["global_pooling_bn"])
+    pool = _abn(pool, p["global_pooling_bn"], s["global_pooling_bn"],
+                training=training)
     pool = _cv(pool, p["pool_red_conv"]["kernel"])
 
     out = out + pool
-    return _abn(out, p["red_bn"], s["red_bn"])
+    return _abn(out, p["red_bn"], s["red_bn"], training=training)
 
 
 def torch_att_map(x):
-    """Reference spatial attention (segmentation_module.py:86-94)."""
+    """Reference spatial attention (segmentation_module.py:86-94): the
+    attention weights are DETACHED (matching models/segmentation.py:31-37's
+    stop_gradient) so gradients flow only through the feature operand."""
     a = (x ** 2).sum(dim=1)
     norm = torch.sqrt((a ** 2).sum(dim=(1, 2), keepdim=True))
     a = a / torch.clamp(norm, min=1e-12)
-    return a.unsqueeze(1) * x
+    return a.detach().unsqueeze(1) * x
 
 
-def torch_full_forward(x, p, s, structure, classes, pooling_size):
+def torch_full_forward(x, p, s, structure, classes, pooling_size,
+                       training=False):
     """Complete reference forward (segmentation_module.py:125-136):
     body -> head -> concat per-step 1x1 classifiers -> att maps ->
     bilinear upsample(align_corners=False)."""
-    x_b = torch_resnet_body(x, p["body"], s["body"], structure)
-    x_pl = torch_deeplab_head(x_b, p["head"], s["head"], pooling_size)
+    x_b = torch_resnet_body(x, p["body"], s["body"], structure,
+                            training=training)
+    x_pl = torch_deeplab_head(x_b, p["head"], s["head"], pooling_size,
+                              training=training)
     outs = [
         _cv(x_pl, p[f"cls_{i}"]["kernel"], bias=p[f"cls_{i}"]["bias"])
         for i in range(len(classes))

@@ -20,7 +20,7 @@ import json
 import sys
 
 from . import tasks as task_registry
-from .config import Config, apply_method
+from .config import Config, apply_bug_compatible, apply_method
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--bucket", type=int, default=128,
                     help="pad images to multiples of this (few XLA "
                          "compiles across mixed sizes)")
+    pr.add_argument("--batch_size", type=int, default=8,
+                    help="batch same-bucket images per device call")
     pr.add_argument("--fusion-mode", dest="fusion_mode", default="mean",
                     choices=["mean", "voting", "max"])
     pr.add_argument("--test_scales", type=str, default="1.0")
@@ -141,6 +143,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="normalize images on the host (reference "
                         "ToTensor+Normalize) instead of shipping uint8 and "
                         "normalizing on device")
+    p.add_argument("--bug_compatible", action="store_true", default=False,
+                   help="reproduce ALL as-shipped reference quirks in one "
+                        "switch: cls[0] frozen even at step 0, contrastive "
+                        "for every method at step>0, and the shipped "
+                        "unstabilized contrastive formula (implies "
+                        "--no_pallas for the contrastive term)")
     p.add_argument("--icarl", action="store_true", default=False)
     p.add_argument("--icarl_importance", type=float, default=1.0)
     p.add_argument("--icarl_disjoint", action="store_true", default=False)
@@ -235,6 +243,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         contrastive=args.contrastive, temperature=args.temperature,
         contrastive_capacity=args.contrastive_capacity,
         use_pallas_contrastive=not args.no_pallas,
+        bug_compatible=args.bug_compatible,
         fused_loss=not args.no_fused_loss,
         device_normalize=not args.no_device_normalize,
         icarl=args.icarl, icarl_importance=args.icarl_importance,
@@ -257,7 +266,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ckpt_dir=args.ckpt_dir, test_only=args.test_only,
         sample_num=args.sample_num, debug=args.debug,
     )
-    return apply_method(cfg).validate()
+    return apply_bug_compatible(apply_method(cfg)).validate()
 
 
 def _make_bases(cfg: Config, n: int, learnable: int = 0):
@@ -320,6 +329,7 @@ def main(argv=None):
         written = predict_paths(
             model, variables, collect_images(args.images), args.out,
             dataset=meta["dataset"], bucket=args.bucket,
+            batch_size=args.batch_size,
             fusion_mode=args.fusion_mode,
             scales=tuple(float(s) for s in args.test_scales.split(",")),
             flip=args.test_flip, save_ids=args.save_ids,

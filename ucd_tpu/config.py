@@ -89,6 +89,10 @@ class Config:
     contrastive_weight: float = 0.01   # reference divides conloss by 100 (train.py:116)
     contrastive_capacity: int = 0      # 0 = full B*h*w pixel set; >0 = fixed anchor budget
     contrastive_bug_compatible: bool = False  # shipped unstabilized-neg formula
+    freeze_cls0_always: bool = False   # reference quirk: cls[0] frozen even
+                                       # at step 0 (segmentation_module.py:75-78)
+    bug_compatible: bool = False       # one switch -> ALL shipped reference
+                                       # quirks (see apply_bug_compatible)
     icarl: bool = False
     icarl_importance: float = 1.0
     icarl_disjoint: bool = False
@@ -114,6 +118,15 @@ class Config:
     # f32. This matches the configuration all benchmark numbers use.
     bf16_upsample: bool = True
     bf16_norm: bool = False        # BatchNorm compute in bf16 (stats f32)
+    bf16_norm_early: bool = False  # bf16 norms on stem+mod2 only (the
+                                   # HBM-bound 128^2/256^2 groups); late
+                                   # MXU-bound groups keep f32 norms
+    stable_norm: bool = False      # two-pass (cancellation-free) BatchNorm
+                                   # variance == torch semantics; default is
+                                   # flax's one-pass E[x^2]-E[x]^2
+    remat_early: bool = False      # rematerialize the mod2 group backward
+                                   # (trade recompute for saved-activation
+                                   # HBM in the measured bandwidth-bound zone)
     data_axis: int = 0             # mesh axis size 0 = all devices
     remat: bool = False            # rematerialize backbone blocks to save HBM
     stem_s2d: bool = False         # space-to-depth packed stem conv
@@ -278,10 +291,32 @@ def apply_method(cfg: Config) -> Config:
     return dataclasses.replace(cfg, **updates)
 
 
+def apply_bug_compatible(cfg: Config) -> Config:
+    """Expand `bug_compatible=True` into every as-shipped reference quirk the
+    defaults deliberately fix (SURVEY.md §2.6; VERDICT r3 item 6) — one flag
+    for A/B behavioral diffs against the shipped reference:
+
+      * cls[0] frozen even at step 0 (segmentation_module.py:75-78);
+      * the contrastive term runs for EVERY method at step > 0, not just UCD
+        (train.py:110-116 guards only on `model_old is not None`);
+      * the contrastive loss uses the shipped unstabilized-negative formula
+        (utils/loss.py:444-452), which requires the dense path.
+    """
+    if not cfg.bug_compatible:
+        return cfg
+    updates: dict = dict(freeze_cls0_always=True,
+                         contrastive_bug_compatible=True,
+                         use_pallas_contrastive=False)
+    if cfg.step > 0 and cfg.dataset != "city_domain":
+        updates["contrastive"] = True
+    return dataclasses.replace(cfg, **updates)
+
+
 def make_config(**kwargs) -> Config:
-    """Build, expand method preset, validate."""
+    """Build, expand method preset + bug-compatible preset, validate."""
     cfg = Config(**kwargs)
     cfg = apply_method(cfg)
+    cfg = apply_bug_compatible(cfg)
     return cfg.validate()
 
 

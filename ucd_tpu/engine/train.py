@@ -240,7 +240,9 @@ def make_train_step(cfg: Config, model, model_old, total_iters: int,
         terms["l_reg"] = l_reg
 
         mask = trainable_mask(state.params, step_idx,
-                              freeze_body=cfg.freeze, fix_bn=cfg.fix_bn)
+                              freeze_body=cfg.freeze, fix_bn=cfg.fix_bn,
+                              freeze_cls0_always=getattr(
+                                  cfg, "freeze_cls0_always", False))
         grads = _apply_mask(grads, mask)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = _apply_mask(updates, mask)  # no weight decay on frozen

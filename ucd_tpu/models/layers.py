@@ -25,6 +25,12 @@ from flax import linen as nn
 # from cfg.bf16_norm without threading a field through every constructor)
 DEFAULT_NORM_DTYPE = [jnp.float32]
 
+# process-wide BatchNorm variance formula (boxed, set from cfg.stable_norm):
+# True = flax's one-pass E[x^2]-E[x]^2 (fewer HBM reads, the production
+# default); False = the cancellation-free two-pass variance (torch
+# semantics — what the composed parity oracle compares against)
+DEFAULT_FAST_VARIANCE = [True]
+
 
 def xavier_normal_gain(gain: float):
     """Xavier/Glorot normal with an explicit gain, matching
@@ -86,6 +92,7 @@ class ABN(nn.Module):
                 epsilon=self.epsilon,
                 dtype=norm_dtype,
                 param_dtype=jnp.float32,
+                use_fast_variance=DEFAULT_FAST_VARIANCE[0],
                 name="bn",
             )(x)
         if self.activation == "leaky_relu":

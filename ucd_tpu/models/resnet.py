@@ -88,6 +88,10 @@ class ResidualBlock(nn.Module):
     dilation: int = 1
     activation_param: float = 0.01
     dtype: Any = jnp.float32
+    # per-block norm compute dtype override (None -> process default):
+    # bfloat16 on the early HBM-bound groups halves the normalize-chain
+    # traffic where the convs are bandwidth-limited (cfg.bf16_norm_early)
+    norm_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -100,6 +104,7 @@ class ResidualBlock(nn.Module):
             residual = conv(out_ch, 1, self.stride, dtype=self.dtype,
                             name="proj_conv")(x)
             residual = ABN(activation="identity", dtype=self.dtype,
+                           norm_dtype=self.norm_dtype,
                            name="proj_bn")(residual, train)
         else:
             residual = x
@@ -107,21 +112,23 @@ class ResidualBlock(nn.Module):
         if is_bottleneck:
             y = conv(ch[0], 1, 1, dtype=self.dtype, name="conv1")(x)
             y = ABN(activation_param=self.activation_param, dtype=self.dtype,
-                    name="bn1")(y, train)
+                    norm_dtype=self.norm_dtype, name="bn1")(y, train)
             y = conv(ch[1], 3, self.stride, self.dilation, dtype=self.dtype,
                      name="conv2")(y)
             y = ABN(activation_param=self.activation_param, dtype=self.dtype,
-                    name="bn2")(y, train)
+                    norm_dtype=self.norm_dtype, name="bn2")(y, train)
             y = conv(ch[2], 1, 1, dtype=self.dtype, name="conv3")(y)
-            y = ABN(activation="identity", dtype=self.dtype, name="bn3")(y, train)
+            y = ABN(activation="identity", dtype=self.dtype,
+                    norm_dtype=self.norm_dtype, name="bn3")(y, train)
         else:
             y = conv(ch[0], 3, self.stride, self.dilation, dtype=self.dtype,
                      name="conv1")(x)
             y = ABN(activation_param=self.activation_param, dtype=self.dtype,
-                    name="bn1")(y, train)
+                    norm_dtype=self.norm_dtype, name="bn1")(y, train)
             y = conv(ch[1], 3, 1, self.dilation, dtype=self.dtype,
                      name="conv2")(y)
-            y = ABN(activation="identity", dtype=self.dtype, name="bn2")(y, train)
+            y = ABN(activation="identity", dtype=self.dtype,
+                    norm_dtype=self.norm_dtype, name="bn2")(y, train)
 
         y = y + residual
         return nn.leaky_relu(y, self.activation_param)
@@ -142,6 +149,10 @@ class IdentityResidualBlock(nn.Module):
     dilation: int = 1
     activation_param: float = 0.01
     dtype: Any = jnp.float32
+    # per-block norm compute dtype override (None -> process default):
+    # bfloat16 on the early HBM-bound groups halves the normalize-chain
+    # traffic where the convs are bandwidth-limited (cfg.bf16_norm_early)
+    norm_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -193,6 +204,16 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     stem_s2d: bool = False  # space-to-depth packed stem conv (same params)
+    # norm compute dtype for the stem + mod2 group only (the 128^2/256^2
+    # HBM-bound activations; BASELINE.md round-3 trace): bfloat16 halves
+    # that chain's traffic while the MXU-bound late groups keep f32 norms
+    norm_dtype_early: Any = None
+    # rematerialize ONLY the mod2 group in the backward: its 128^2
+    # activations dominate saved-activation HBM while its recompute FLOPs
+    # are cheap — the bandwidth-for-compute trade targeted at the measured
+    # HBM-bound region (full-model remat trades everywhere, incl. the
+    # MXU-bound late groups where it only costs)
+    remat_early: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -214,16 +235,18 @@ class ResNet(nn.Module):
                             name="mod1_conv1")(x)
         else:
             y = conv(64, 7, 2, dtype=self.dtype, name="mod1_conv1")(x)
-        y = ABN(dtype=self.dtype, name="mod1_bn1")(y, train)
+        y = ABN(dtype=self.dtype, norm_dtype=self.norm_dtype_early,
+                name="mod1_bn1")(y, train)
         if dilation[0] == 1:
             y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         channels = (64, 64, 256) if self.bottleneck else (64, 64)
-        block_cls = ResidualBlock
-        if self.remat:
-            block_cls = nn.remat(ResidualBlock, static_argnums=(2,))
+        base_cls = ResidualBlock
+        remat_cls = nn.remat(ResidualBlock, static_argnums=(2,))
         for mod_id, num in enumerate(self.structure):
             d = dilation[mod_id]
+            block_cls = (remat_cls if self.remat
+                         or (self.remat_early and mod_id == 0) else base_cls)
             for block_id in range(num):
                 stride = 2 if d == 1 and block_id == 0 and mod_id > 0 else 1
                 y = block_cls(
@@ -231,6 +254,8 @@ class ResNet(nn.Module):
                     stride=stride,
                     dilation=d,
                     dtype=self.dtype,
+                    norm_dtype=(self.norm_dtype_early if mod_id == 0
+                                else None),
                     name=f"mod{mod_id + 2}_block{block_id + 1}",
                 )(y, train)
             channels = tuple(c * 2 for c in channels)

@@ -65,6 +65,8 @@ class IncrementalSegmentationModel(nn.Module):
     upsample_dtype: Any = jnp.float32
     remat: bool = False
     stem_s2d: bool = False
+    norm_dtype_early: Any = None  # stem+mod2 norm compute dtype (bf16_norm_early)
+    remat_early: bool = False     # rematerialize the mod2 group only
 
     @nn.compact
     def __call__(self, x, train: bool = False, fix_bn: bool = False):
@@ -79,7 +81,9 @@ class IncrementalSegmentationModel(nn.Module):
         structure, bottleneck = STRUCTURES[self.backbone]
         body = ResNet(structure=structure, bottleneck=bottleneck,
                       output_stride=self.output_stride, dtype=self.dtype,
-                      remat=self.remat, stem_s2d=self.stem_s2d, name="body")
+                      remat=self.remat, stem_s2d=self.stem_s2d,
+                      norm_dtype_early=self.norm_dtype_early,
+                      remat_early=self.remat_early, name="body")
         x_b = body(x, bn_train)
         head = DeeplabV3(out_channels=self.head_channels,
                          hidden_channels=256,
@@ -119,15 +123,21 @@ def make_model(cfg, classes: Sequence[int] | None = None) -> IncrementalSegmenta
     step in `pretrained.load_pretrained_body`)."""
     import jax.numpy as _jnp
 
-    dtype = {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32}[cfg.dtype]
+    # float64 is a TEST-ONLY dtype (requires jax_enable_x64): the composed
+    # train-step parity oracle runs the whole model at f64, where jax and
+    # the torch oracle agree to ~1e-7 (tests/test_train_step_parity.py)
+    dtype = {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32,
+             "float64": _jnp.float64}[cfg.dtype]
     # bf16 upsample only applies under the bf16 compute policy: in float32
     # mode (tests, parity oracles) the whole graph stays f32
     up_dtype = _jnp.bfloat16 \
         if getattr(cfg, "bf16_upsample", False) and dtype == _jnp.bfloat16 \
         else _jnp.float32
-    from .layers import DEFAULT_NORM_DTYPE
+    from .layers import DEFAULT_FAST_VARIANCE, DEFAULT_NORM_DTYPE
     DEFAULT_NORM_DTYPE[0] = (_jnp.bfloat16 if getattr(cfg, "bf16_norm", False)
+                             else dtype if dtype == _jnp.float64
                              else _jnp.float32)
+    DEFAULT_FAST_VARIANCE[0] = not getattr(cfg, "stable_norm", False)
     return IncrementalSegmentationModel(
         classes=tuple(classes if classes is not None else cfg.classes_per_step),
         backbone=cfg.backbone,
@@ -138,6 +148,11 @@ def make_model(cfg, classes: Sequence[int] | None = None) -> IncrementalSegmenta
         upsample_dtype=up_dtype,
         remat=cfg.remat,
         stem_s2d=getattr(cfg, "stem_s2d", False),
+        # early-group bf16 norms only under the bf16 compute policy
+        norm_dtype_early=(_jnp.bfloat16
+                          if getattr(cfg, "bf16_norm_early", False)
+                          and dtype == _jnp.bfloat16 else None),
+        remat_early=getattr(cfg, "remat_early", False),
     )
 
 
