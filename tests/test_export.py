@@ -111,6 +111,45 @@ def test_predict_paths_writes_pngs(exported, tmp_path):
     assert ids.shape == (50, 61) and ids.max() < cfg.tot_classes
 
 
+def test_batched_predict_matches_batch1(exported, tmp_path):
+    """Same-bucket batching (VERDICT r3 item 4): grouping images into
+    batch_size device calls must match the batch-1 path, including the
+    padded partial final chunk. f32 export; a sub-0.5% flip allowance covers
+    argmax near-ties that XLA's batch-shape-dependent reduction orders can
+    break differently (bf16 exports flip more — covered by the fixture's
+    agreement test)."""
+    cfg, model, variables, out, meta, d = exported
+    out32 = os.path.join(d, "model_f32_batch.npz")
+    export_inference(os.path.join(d, "ckpt"), out32, cfg,
+                     export_dtype="float32")
+    ex_model, ex_vars, _ = load_inference(out32)
+    rng = np.random.RandomState(5)
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    # 7 images over two buckets: bucket (64,64) gets 5 (one full chunk of 4
+    # + a padded remainder of 1), bucket (64,128) gets 2 (natural-size chunk)
+    sizes = [(50, 61), (64, 40), (33, 33), (64, 64), (17, 52),
+             (60, 100), (64, 65)]
+    for i, (h, w) in enumerate(sizes):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            imgdir / f"img{i}.png")
+    files = collect_images(str(imgdir))
+
+    kw = dict(dataset=meta["dataset"], bucket=64, save_ids=True,
+              save_color=False, fused=False)
+    w1 = predict_paths(ex_model, ex_vars, files, str(tmp_path / "o1"),
+                       batch_size=1, **kw)
+    wb = predict_paths(ex_model, ex_vars, files, str(tmp_path / "ob"),
+                       batch_size=4, **kw)
+    assert len(w1) == len(wb) == len(files)
+    for i in range(len(sizes)):
+        a = np.asarray(Image.open(tmp_path / "o1" / f"img{i}_ids.png"))
+        b = np.asarray(Image.open(tmp_path / "ob" / f"img{i}_ids.png"))
+        assert a.shape == sizes[i]
+        assert (a != b).mean() <= 0.005, (
+            f"img{i}: {(a != b).sum()} px differ between batch sizes")
+
+
 def test_classes_derived_from_checkpoint_not_flags(tmp_path, capsys):
     """A stale/defaulted --task/--step cannot mis-describe the export: the
     per-step class list is read off the checkpoint's cls_{i} kernels. (As

@@ -164,7 +164,8 @@ def _bucket_hw(h: int, w: int, multiple: int) -> Tuple[int, int]:
 
 def predict_paths(model, variables, image_paths: Sequence[str],
                   out_dir: str, dataset: str = "voc", *,
-                  bucket: int = 128, fusion_mode: str = "mean",
+                  bucket: int = 128, batch_size: int = 8,
+                  fusion_mode: str = "mean",
                   scales: Sequence[float] = (1.0,), flip: bool = False,
                   save_color: bool = True, save_ids: bool = False,
                   fused: bool = True) -> list:
@@ -174,7 +175,14 @@ def predict_paths(model, variables, image_paths: Sequence[str],
     pipeline) padded to `bucket` multiples, predictions are cropped back
     to the native size. `<stem>_color.png` is the dataset-palette
     rendering (the reference test.py colormap dumps); `<stem>_ids.png`
-    is the raw class-id map (deployment consumers)."""
+    is the raw class-id map (deployment consumers).
+
+    Same-bucket images are BATCHED up to `batch_size` per device call
+    (VERDICT r3 item 4: batch-1 serving left ~an order of magnitude of
+    throughput on the table vs the bench's batched inference number). A
+    bucket's final partial chunk pads the batch dim back to `batch_size`
+    when a full chunk already compiled for that bucket (program reuse,
+    zero extra compiles); otherwise it runs at its natural size."""
     from PIL import Image
 
     from ..ops.fused_loss import _on_tpu
@@ -189,16 +197,13 @@ def predict_paths(model, variables, image_paths: Sequence[str],
                           fused=fused and _on_tpu())
     to_color = Label2Color(color_map(dataset))
     os.makedirs(out_dir, exist_ok=True)
+    batch_size = max(int(batch_size), 1)
     written = []
     used_stems: dict = {}
-    for p in image_paths:
-        img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
-        h, w = img.shape[:2]
-        hb, wb = _bucket_hw(h, w, bucket)
-        padded = np.pad(img, ((0, hb - h), (0, wb - w), (0, 0)))
-        preds = np.asarray(predictor.predict_labels(padded[None]))[0]
+
+    def write_one(preds, path, h, w):
         preds = preds[:h, :w].astype(np.uint8)
-        stem = os.path.splitext(os.path.basename(p))[0]
+        stem = os.path.splitext(os.path.basename(path))[0]
         # a.png and a.jpg in one directory must not clobber each other
         k = used_stems.get(stem, 0)
         used_stems[stem] = k + 1
@@ -212,6 +217,35 @@ def predict_paths(model, variables, image_paths: Sequence[str],
             out = os.path.join(out_dir, f"{stem}_color.png")
             Image.fromarray(to_color(preds).astype(np.uint8)).save(out)
             written.append(out)
+
+    pending: dict = {}      # (hb, wb) -> [(path, img uint8 HWC, h, w), ...]
+    full_seen: set = set()  # buckets that already ran a full-size chunk
+
+    def flush(key):
+        group = pending.pop(key, [])
+        if not group:
+            return
+        hb, wb = key
+        n = len(group)
+        run_n = batch_size if (n == batch_size or key in full_seen) else n
+        arr = np.zeros((run_n, hb, wb, 3), np.uint8)
+        for i, (_, img, h, w) in enumerate(group):
+            arr[i, :h, :w] = img
+        preds = np.asarray(predictor.predict_labels(arr))
+        if n == batch_size:
+            full_seen.add(key)
+        for i, (path, _, h, w) in enumerate(group):
+            write_one(preds[i], path, h, w)
+
+    for p in image_paths:
+        img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+        h, w = img.shape[:2]
+        key = _bucket_hw(h, w, bucket)
+        pending.setdefault(key, []).append((p, img, h, w))
+        if len(pending[key]) == batch_size:
+            flush(key)
+    for key in list(pending):
+        flush(key)
     return written
 
 
