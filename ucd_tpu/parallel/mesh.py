@@ -84,19 +84,45 @@ def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
                 (DATA_AXIS, MODEL_AXIS))
 
 
+def _ici_order(group):
+    """Order one ICI domain's devices by physical topology (mesh_utils walks
+    the torus coords so neighboring mesh entries are ICI neighbors and the
+    model axis's collectives ride torus rings). Falls back to enumeration
+    order off-TPU or when the group doesn't form a standard topology."""
+    if len(group) > 1 and getattr(group[0], "platform", "") == "tpu":
+        try:
+            from jax.experimental import mesh_utils
+            return list(
+                mesh_utils.create_device_mesh((len(group),),
+                                              devices=group).flat)
+        except Exception:
+            pass
+    return group
+
+
 def _hybrid_device_order(devices, n_model: int):
     """Order devices so each contiguous `n_model`-sized model group lives on
-    ONE slice/host: the model axis's per-layer collectives (channel-sharded
+    ONE ICI domain: the model axis's per-layer collectives (channel-sharded
     matmul reduce-scatters) ride ICI, and only the data axis's once-per-step
     gradient all-reduce crosses DCN. Grouping key: `slice_index` on
-    multislice TPU, else `process_index` (multi-host CPU/GPU). Raises if
-    any group would straddle a boundary — a silent straddle would put the
-    hot collective on DCN, the exact failure this ordering exists to
-    prevent (scaling-book recipe; cf. reference NCCL flat world,
+    multislice TPU; a TPU pod WITHOUT slice_index is a single slice whose
+    ICI spans all hosts, so all devices form one domain (grouping such a pod
+    by process_index would wrongly refuse n_model > per-host count); non-TPU
+    backends (multi-host CPU/GPU) group by `process_index`. Raises if any
+    group would straddle a boundary — a silent straddle would put the hot
+    collective on DCN, the exact failure this ordering exists to prevent
+    (scaling-book recipe; cf. reference NCCL flat world,
     /root/reference/run.py:117-124, which has no such distinction)."""
+    is_tpu = bool(devices) and all(
+        getattr(d, "platform", "") == "tpu" for d in devices)
+
     def key(d):
         s = getattr(d, "slice_index", None)
-        return s if s is not None else getattr(d, "process_index", 0)
+        if s is not None:
+            return s
+        if is_tpu:
+            return 0  # single-slice pod: one ICI domain across all hosts
+        return getattr(d, "process_index", 0)
 
     groups: dict = {}
     for d in devices:
@@ -107,7 +133,7 @@ def _hybrid_device_order(devices, n_model: int):
                 f"hybrid mesh: slice/host {k} has {len(g)} devices, not a "
                 f"multiple of n_model={n_model}; the model axis cannot stay "
                 f"within one ICI domain")
-    return [d for k in sorted(groups) for d in groups[k]]
+    return [d for k in sorted(groups) for d in _ici_order(groups[k])]
 
 
 def make_mesh_2d_hybrid(n_model: int, devices=None) -> Mesh:
