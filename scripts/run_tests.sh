@@ -38,3 +38,14 @@ else
     echo "FAILURES PRESENT"
     exit 1
 fi
+
+# packaging gate (VERDICT r3 item 7): fresh-venv pip install -e . + CLI smoke
+if [ "${SKIP_INSTALL_SMOKE:-0}" != "1" ]; then
+    if "${ENV[@]}" bash scripts/install_smoke.sh /tmp/ucd_tpu_ci_venv \
+            > /tmp/ucd_install_smoke.log 2>&1; then
+        echo "INSTALL SMOKE PASSED"
+    else
+        echo "INSTALL SMOKE FAILED (see /tmp/ucd_install_smoke.log)"
+        exit 1
+    fi
+fi

@@ -20,10 +20,17 @@ def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                        "libucd_data_ops.so")
-    path = os.path.abspath(path)
-    if os.path.exists(path):
+    here = os.path.dirname(__file__)
+    candidates = [
+        os.environ.get("UCD_TPU_NATIVE_LIB", ""),
+        # installed package: scripts/build_native.sh copies into ucd_tpu/lib
+        os.path.join(here, "..", "lib", "libucd_data_ops.so"),
+        # repo checkout: built in-place under native/
+        os.path.join(here, "..", "..", "native", "libucd_data_ops.so"),
+    ]
+    path = next((os.path.abspath(p) for p in candidates
+                 if p and os.path.exists(p)), "")
+    if path:
         lib = ctypes.CDLL(path)
         lib.remap_labels_i32.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
