@@ -229,9 +229,24 @@ def build_ucd_step(dataset, batch, size, method="UCD", backbone="resnet101",
     train_step = jax.jit(make_train_step(cfg, model, model_old,
                                          total_iters=100),
                          donate_argnums=donate)
+
+    # K-step dispatch bundle (cfg.steps_per_call; default 1 = per-step —
+    # bundling measured parity on v5e, BASELINE.md r4). BENCH_SPC=K>1
+    # switches the headline to the bundled path for A/B measurement.
+    spc = int(os.environ.get("BENCH_SPC", str(cfg.steps_per_call)))
+    bundle_step = bundle_data = None
+    if spc > 1:
+        from ucd_tpu.engine import make_train_bundle
+        bundle_step = jax.jit(
+            make_train_bundle(cfg, model, model_old, total_iters=100,
+                              k=spc),
+            donate_argnums=donate)
+        bundle_data = {k_: jnp.stack([v] * spc)
+                       for k_, v in batch_data.items()}
     return dict(cfg=cfg, cfg0=cfg0, model=model, model_old=model_old,
                 state=state, state0=state0, old_vars=old_vars,
-                batch_data=batch_data, train_step=train_step, batch=batch)
+                batch_data=batch_data, train_step=train_step, batch=batch,
+                spc=spc, bundle_step=bundle_step, bundle_data=bundle_data)
 
 
 def robust_median(rates, reject_ratio=0.55):
@@ -368,7 +383,7 @@ def main():
     state, m = train_step(state, batch_data, old_vars)
     float(m["loss_tot"])
 
-    def run_window():
+    def per_step_window():
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(win_steps):
@@ -378,9 +393,39 @@ def main():
         assert np.isfinite(loss)
         return batch * win_steps / dt
 
+    # BENCH_SPC>1 A/B path: headline from the K-step dispatch bundle (one
+    # lax.scan call per window of K steps), with the per-step dispatch rate
+    # still measured below as a secondary so the comparison lands in the
+    # record. Default is per-step (bundling measured parity on v5e).
+    bundle_step = built["bundle_step"]
+    bundle_data = built["bundle_data"]
+    spc = built["spc"]
+    if bundle_step is not None:
+        _progress("compile+warmup bundle")
+        state, mb = bundle_step(state, bundle_data, old_vars)
+        float(np.asarray(mb["loss_tot"])[-1])
+
+        def run_window():
+            nonlocal state
+            t0 = time.perf_counter()
+            state2, mb = bundle_step(state, bundle_data, old_vars)
+            state = state2
+            loss = float(np.asarray(mb["loss_tot"])[-1])
+            dt = time.perf_counter() - t0
+            assert np.isfinite(loss)
+            return batch * spc / dt
+    else:
+        run_window = per_step_window
+
     _progress("raw windows")
     raw_rates = measure_windows(run_window, n_windows)
     headline, n_rejected = robust_median(raw_rates)
+
+    per_step_img_per_s = None
+    if bundle_step is not None:
+        _progress("per-step dispatch secondary")
+        per_step_img_per_s, _ = robust_median(
+            measure_windows(per_step_window, 3))
 
     # PRODUCT-loop throughput: the same UCD step driven by the real
     # Experiment epoch loop (DataLoader prefetch + deferred metric fetch).
@@ -422,6 +467,19 @@ def main():
         # threads; through the axon relay a 50MB/step transfer would
         # measure the tunnel, not the framework.
         dev_batch = exp._put_batch(batch_data)
+        # bundled loop: pre-stage the (K,B,...) device bundle as well, and
+        # feed shape-correct host stubs so the loop's bundling logic (buffer
+        # fill, stack, dispatch cadence, tail) runs for real while the 400MB
+        # h2d stays off the tunnel
+        host_stub = {
+            "image": np.zeros((batch, 1, 1, 3), np.float32),
+            "label": np.zeros((batch, 1, 1), np.int32),
+        }
+        if exp.train_bundle is not None:
+            host_bundle = {k: np.stack([np.asarray(v)] * exp.steps_per_call)
+                           for k, v in batch_data.items()}
+            dev_bundle = exp._put_bundle(host_bundle)
+            exp._put_bundle = lambda s: dev_bundle
 
         class _FixedLoader:
             batch_size = batch
@@ -430,7 +488,7 @@ def main():
                 return loop_steps
 
             def epoch(self, epoch):
-                return iter([None] * loop_steps)
+                return iter([host_stub] * loop_steps)
 
         exp.train_loader = _FixedLoader()
         exp._put_batch = lambda b, pad_to=None: dev_batch
@@ -467,6 +525,11 @@ def main():
         _progress("mini trace")
         def _run(n):
             nonlocal state
+            if bundle_step is not None:          # trace the headline path
+                for _ in range(max(n // spc, 1)):
+                    state, m = bundle_step(state, bundle_data, old_vars)
+                float(np.asarray(m["loss_tot"])[-1])
+                return
             for _ in range(n):
                 state, m = train_step(state, batch_data, old_vars)
             float(m["loss_tot"])
@@ -602,19 +665,36 @@ def main():
         ade_state = ade["state"]
         ade_step, ade_batch_data = ade["train_step"], ade["batch_data"]
         ade_old = ade["old_vars"]
-        for _ in range(2):                       # compile + warmup
-            ade_state, am = ade_step(ade_state, ade_batch_data, ade_old)
-            float(am["loss_tot"])
 
-        def ade_window():
-            nonlocal ade_state
-            t0 = time.perf_counter()
-            for _ in range(win_steps):
+        if ade["bundle_step"] is not None:       # same protocol as headline
+            ade_bundle, ade_bdata = ade["bundle_step"], ade["bundle_data"]
+            ade_spc = ade["spc"]
+            ade_state, am = ade_bundle(ade_state, ade_bdata, ade_old)
+            float(np.asarray(am["loss_tot"])[-1])  # compile + warmup
+
+            def ade_window():
+                nonlocal ade_state
+                t0 = time.perf_counter()
+                ade_state, am = ade_bundle(ade_state, ade_bdata, ade_old)
+                loss = float(np.asarray(am["loss_tot"])[-1])
+                dt = time.perf_counter() - t0
+                assert np.isfinite(loss)
+                return batch * ade_spc / dt
+        else:
+            for _ in range(2):                   # compile + warmup
                 ade_state, am = ade_step(ade_state, ade_batch_data, ade_old)
-            loss = float(am["loss_tot"])
-            dt = time.perf_counter() - t0
-            assert np.isfinite(loss)
-            return batch * win_steps / dt
+                float(am["loss_tot"])
+
+            def ade_window():
+                nonlocal ade_state
+                t0 = time.perf_counter()
+                for _ in range(win_steps):
+                    ade_state, am = ade_step(ade_state, ade_batch_data,
+                                             ade_old)
+                loss = float(am["loss_tot"])
+                dt = time.perf_counter() - t0
+                assert np.isfinite(loss)
+                return batch * win_steps / dt
 
         ade_img_per_s, _ = robust_median(measure_windows(ade_window, 3))
 
@@ -627,6 +707,11 @@ def main():
     if suspect:
         out["suspect"] = True
     out["raw_window_rates"] = [round(r, 1) for r in raw_rates]
+    out["steps_per_call"] = spc
+    if per_step_img_per_s is not None:
+        # dispatch-per-step rate: the bundling win (headline/this ratio)
+        # stays visible in the permanent record
+        out["per_step_dispatch_images_per_s"] = round(per_step_img_per_s, 2)
     if n_rejected:
         out["stall_windows_rejected"] = n_rejected
     if pallas_loss_err is not None:

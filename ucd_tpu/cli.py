@@ -123,6 +123,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "rendezvous compat; use --coordinator)")
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--nan_guard", action="store_true", default=False)
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="train steps per device dispatch (>1 = lax.scan "
+                        "bundle; same math either way). Bundling amortizes "
+                        "host dispatch latency; on v5e it measured parity "
+                        "with per-step dispatch (async dispatch already "
+                        "hides the gap) — use >1 only on hosts with real "
+                        "dispatch latency")
 
     p.add_argument("--bce", action="store_true", default=False)
     p.add_argument("--unce", action="store_true", default=False)
@@ -237,6 +244,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         pretrained=not args.no_pretrained,
         pretrained_path=args.pretrained_path, norm_act=args.norm_act,
         pooling=args.pooling, dtype=dtype, remat=args.remat,
+        steps_per_call=args.steps_per_call,
         nan_guard=args.nan_guard,
         bce=args.bce, unce=args.unce, unkd=args.unkd, alpha=args.alpha,
         loss_kd=args.loss_kd, loss_de=args.loss_de,

@@ -127,6 +127,18 @@ class Config:
     remat_early: bool = False      # rematerialize the mod2 group backward
                                    # (trade recompute for saved-activation
                                    # HBM in the measured bandwidth-bound zone)
+    steps_per_call: int = 1        # K train steps per device dispatch: >1
+                                   # runs the hot loop as one lax.scan over a
+                                   # (K,B,...) stacked batch, paying host
+                                   # dispatch latency once per K steps. Same
+                                   # math as K per-step calls. Measured on
+                                   # v5e (batch 16@512², BASELINE.md r4):
+                                   # PARITY — 151.5 bundled vs 152.7 per-step
+                                   # at K=8; jax's async dispatch already
+                                   # hides the host gap. Kept for hosts with
+                                   # real dispatch latency (slow tunnels,
+                                   # many-step small models). Epoch tails
+                                   # shorter than K run per-step.
     data_axis: int = 0             # mesh axis size 0 = all devices
     remat: bool = False            # rematerialize backbone blocks to save HBM
     stem_s2d: bool = False         # space-to-depth packed stem conv
@@ -241,6 +253,7 @@ class Config:
         assert self.lr_policy in ("poly", "step")
         assert self.fusion_mode in ("mean", "voting", "max")
         assert self.ckpt_interval >= 1
+        assert self.steps_per_call >= 1
         assert self.method is None or self.method in METHODS
         assert self.regularizer in (None, "ewc", "pi", "rw")
         if self.contrastive and self.contrastive_bug_compatible \

@@ -4,6 +4,7 @@ from .train import (
     make_eval_step,
     make_lr_schedule,
     make_optimizer,
+    make_train_bundle,
     make_train_step,
 )
 from .state import build_train_state, init_variables
@@ -27,7 +28,7 @@ from .checkpoint import (
 
 __all__ = [
     "TrainState", "compute_train_losses", "make_eval_step", "make_lr_schedule",
-    "make_optimizer", "make_train_step", "build_train_state", "init_variables",
+    "make_optimizer", "make_train_step", "make_train_bundle", "build_train_state", "init_variables",
     "AverageMeter", "confusion_matrix_update", "empty_confusion",
     "results_from_confusion", "results_to_str", "confusion_matrix_figure",
     "load_checkpoint", "load_model_state", "load_reg_saved", "load_reg_full",

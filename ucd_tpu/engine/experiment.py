@@ -32,15 +32,15 @@ from ..data import DataLoader, make_incremental_dataset, split_train_val
 from ..data.transforms import train_transform, val_transform
 from ..models import make_model
 from ..ops import regularizers as R
-from ..parallel import batch_sharding, make_mesh, make_mesh_for_batch, \
-    make_mesh_multiprocess, replicated
+from ..parallel import batch_sharding, bundle_sharding, make_mesh, \
+    make_mesh_for_batch, make_mesh_multiprocess, replicated
 from ..parallel.distributed import local_batch_size
 from ..utils.viz import compose_sample_png
 from . import checkpoint as ckpt_lib
 from .logger import Logger
 from .metrics import empty_confusion, results_from_confusion, results_to_str
 from .state import build_train_state
-from .train import make_eval_step, make_train_step
+from .train import make_eval_step, make_train_bundle, make_train_step
 
 
 def get_datasets(cfg: Config, base_train=None, base_val=None):
@@ -263,6 +263,21 @@ class Experiment:
             make_train_step(cfg, self.model, self.model_old,
                             self.total_iters),
             donate_argnums=donate)
+        # K-step dispatch bundling (cfg.steps_per_call > 1): one lax.scan
+        # device call trains K steps over a (K,B,...) stacked batch — same
+        # math, 1/K the dispatch count. Off by default: measured parity
+        # with per-step dispatch on v5e (BASELINE.md r4 — async dispatch
+        # already hides the host gap); for hosts with real dispatch latency.
+        # Epoch tails shorter than K fall back to self.train_step.
+        self.steps_per_call = max(int(getattr(cfg, "steps_per_call", 1)), 1)
+        self.train_bundle = None
+        if self.steps_per_call > 1:
+            self.bundle_sh = bundle_sharding(self.mesh)
+            self.train_bundle = jax.jit(
+                make_train_bundle(cfg, self.model, self.model_old,
+                                  self.total_iters,
+                                  k=self.steps_per_call),
+                donate_argnums=donate)
         self.eval_step = jax.jit(make_eval_step(cfg, self.model,
                                                 self.model_old))
 
@@ -325,6 +340,18 @@ class Experiment:
                     for k, v in batch.items()}
         return {k: jax.device_put(v, self.data_sh) for k, v in batch.items()}
 
+    def _put_bundle(self, stacked):
+        """Device-put a (K, B, ...) stacked batch: K (the scan axis) is
+        replicated, B shards over the data axis — the bundle analog of
+        `_put_batch` (multi-host shards are per-process local, exactly as
+        in the per-step path)."""
+        if jax.process_count() > 1:
+            return {k: jax.make_array_from_process_local_data(
+                        self.bundle_sh, v)
+                    for k, v in stacked.items()}
+        return {k: jax.device_put(v, self.bundle_sh)
+                for k, v in stacked.items()}
+
     def train_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
         t0 = time.perf_counter()
@@ -333,37 +360,75 @@ class Experiment:
         # would force a device->host sync per iteration — the .item() stall
         # the reference is criticized for (SURVEY §3.2) and the reason the
         # round-1 product loop was slower than bench.py. One device_get per
-        # print_interval keeps the dispatch queue full.
+        # print_interval keeps the dispatch queue full. Each pending entry
+        # is a metrics dict whose leaves are scalars (per-step dispatch) or
+        # (K,)-stacked arrays (a steps_per_call bundle); both sum/average
+        # identically per STEP.
         pending: list[dict] = []
+        since_print = 0  # steps dispatched since the last print
 
-        def drain():
-            if not pending:
-                return
-            for fm in jax.device_get(pending):
-                for k, v in fm.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+        def fetch_pending():
+            fetched = jax.device_get(pending)
             pending.clear()
+            for fm in fetched:
+                for k, v in fm.items():
+                    sums[k] = sums.get(k, 0.0) + float(np.sum(v))
+            return fetched
 
-        for step, batch in enumerate(self.train_loader.epoch(epoch)):
+        def maybe_print():
+            nonlocal since_print
+            if since_print < cfg.print_interval or not pending:
+                return
+            since_print = 0
+            fetched = fetch_pending()
+            losses = np.concatenate(
+                [np.ravel(fm["loss_tot"]) for fm in fetched])
+            avg = float(losses.mean())
+            self.logger.info(
+                f"Epoch {epoch}, Batch {n}/"
+                f"{len(self.train_loader)}, Loss={avg:.4f}")
+            x = epoch * len(self.train_loader) + n
+            self.logger.add_scalar("Loss", avg, x)
+
+        k_bundle = self.steps_per_call if self.train_bundle is not None else 1
+        buf: list[dict] = []  # host batches awaiting a full K-bundle
+
+        def dispatch_bundle():
+            stacked = {key: np.stack([b[key] for b in buf])
+                       for key in buf[0]}
+            buf.clear()
+            self.state, m = self.train_bundle(
+                self.state, self._put_bundle(stacked), self.old_vars)
+            pending.append(m)
+
+        for batch in self.train_loader.epoch(epoch):
+            if (k_bundle > 1
+                    and batch["label"].shape[0]
+                    == self.train_loader.batch_size):
+                buf.append(batch)
+                if len(buf) == k_bundle:
+                    dispatch_bundle()
+                    n += k_bundle
+                    since_print += k_bundle
+            else:
+                # per-step path: bundling off, or an odd-shaped batch
+                self.state, m = self.train_step(self.state,
+                                                self._put_batch(batch),
+                                                self.old_vars)
+                n += 1
+                since_print += 1
+                pending.append(m)
+            maybe_print()
+        # epoch tail shorter than K: run the already-built per-step program
+        for batch in buf:
             self.state, m = self.train_step(self.state,
                                             self._put_batch(batch),
                                             self.old_vars)
             n += 1
             pending.append(m)
-            if (step + 1) % cfg.print_interval == 0:
-                fetched = jax.device_get(pending)
-                pending.clear()
-                for fm in fetched:
-                    for k, v in fm.items():
-                        sums[k] = sums.get(k, 0.0) + float(v)
-                avg = (sum(float(fm["loss_tot"]) for fm in fetched)
-                       / len(fetched))
-                self.logger.info(
-                    f"Epoch {epoch}, Batch {step + 1}/"
-                    f"{len(self.train_loader)}, Loss={avg:.4f}")
-                x = epoch * len(self.train_loader) + step + 1
-                self.logger.add_scalar("Loss", avg, x)
-        drain()
+        buf.clear()
+        if pending:
+            fetch_pending()
         dt = time.perf_counter() - t0
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["epoch_time_s"] = dt

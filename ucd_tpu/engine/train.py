@@ -258,6 +258,42 @@ def make_train_step(cfg: Config, model, model_old, total_iters: int,
     return train_step
 
 
+def make_train_bundle(cfg: Config, model, model_old, total_iters: int,
+                      k: int, step_idx: Optional[int] = None):
+    """K train steps per device dispatch: `lax.scan` of the single step over
+    a stacked batch {'image': (K,B,H,W,3), 'label': (K,B,H,W)}.
+
+    Same math as K sequential `make_train_step` calls (the scan body IS that
+    step; optimizer/batch-stat/regularizer state and the per-iteration LR
+    schedule ride the carry) — what changes is the dispatch count: the host
+    issues ONE device call per K steps. On v5e this measured PARITY with
+    per-step dispatch (151.5 vs 152.7 img/s at K=8, BASELINE.md round 4):
+    jax's async dispatch already hides the host gap, so bundling is off by
+    default (cfg.steps_per_call=1) and kept for hosts where dispatch latency
+    is real (slow tunnels, many small steps). Metrics come back stacked
+    (K,) per term so per-step logging/averaging stays exact.
+
+    The reference's torch loop (train.py:100-151) necessarily dispatches
+    every op eagerly per step; this bundling is the XLA-native counterpart
+    of CUDA-graph capture."""
+    step_fn = make_train_step(cfg, model, model_old, total_iters, step_idx)
+
+    def train_bundle(state: TrainState, batches, old_vars=None):
+        def body(st, b):
+            st2, m = step_fn(st, b, old_vars)
+            # scan demands a type-stable carry; flax's running-stat update
+            # can promote (f32-init stats x f64 batch stats under x64 test
+            # mode). Pin the running stats to their input dtype — they feed
+            # only EVAL-mode normalization, never the train trajectory.
+            st2 = st2.replace(batch_stats=jax.tree_util.tree_map(
+                lambda new, old: new.astype(old.dtype),
+                st2.batch_stats, st.batch_stats))
+            return st2, m
+        return jax.lax.scan(body, state, batches)
+
+    return train_bundle
+
+
 def make_eval_step(cfg: Config, model, model_old=None):
     """Jitted eval step (reference Trainer.validate, train.py:185-270):
     criterion loss + distillation terms for logging, argmax prediction,

@@ -64,6 +64,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def bundle_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a K-step stacked batch (K, B, ...): the scan axis K is
+    replicated (every device walks all K steps), the batch axis B shards
+    over the data axis exactly as in `batch_sharding`."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
