@@ -55,6 +55,27 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--save_ids", action="store_true", default=False,
                     help="also write raw class-id maps")
     pr.add_argument("--no_fused", action="store_true", default=False)
+    sv = sub.add_parser("serve", help="HTTP inference server over an "
+                        "exported npz (dynamic micro-batching: concurrent "
+                        "requests coalesce into batched device calls)")
+    sv.add_argument("--model", required=True, metavar="FILE.npz")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8433)
+    sv.add_argument("--bucket", type=int, default=128)
+    sv.add_argument("--batch_size", type=int, default=8,
+                    help="max images per device call")
+    sv.add_argument("--max_wait_ms", type=float, default=5.0,
+                    help="how long a request waits for batch peers")
+    sv.add_argument("--warmup_size", type=int, default=0,
+                    help=">0: pre-compile the full-batch program for this "
+                         "square size before accepting traffic")
+    sv.add_argument("--fusion-mode", dest="fusion_mode", default="mean",
+                    choices=["mean", "voting", "max"])
+    sv.add_argument("--test_scales", type=str, default="1.0")
+    sv.add_argument("--test_flip", action="store_true", default=False)
+    sv.add_argument("--no_fused", action="store_true", default=False)
+    sv.add_argument("--verbose", action="store_true", default=False,
+                    help="per-request access log on stderr")
     return p
 
 
@@ -343,6 +364,17 @@ def main(argv=None):
             flip=args.test_flip, save_ids=args.save_ids,
             fused=not args.no_fused)
         print(f"wrote {len(written)} files to {args.out}")
+        return 0
+
+    if args.command == "serve":
+        from .engine.server import serve
+        serve(args.model, host=args.host, port=args.port,
+              batch_size=args.batch_size, bucket=args.bucket,
+              max_wait_ms=args.max_wait_ms, warmup_size=args.warmup_size,
+              fusion_mode=args.fusion_mode,
+              scales=tuple(float(s) for s in args.test_scales.split(",")),
+              flip=args.test_flip, fused=not args.no_fused,
+              verbose=args.verbose)
         return 0
 
     # must run before the first jax backend use
