@@ -187,6 +187,11 @@ def build_ucd_step(dataset, batch, size, method="UCD", backbone="resnet101",
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
         remat_early=os.environ.get("BENCH_REMAT_EARLY", "0") == "1",
         fused_loss=os.environ.get("BENCH_FUSED", "1") == "1",
+        # BENCH_XLA_OPTS="k=v,k=v": TPU compiler options on the compile
+        # request (jit compiler_options) — XLA_FLAGS can't reach a remote
+        # PJRT backend (the local axon client's flag parser rejects TPU
+        # flags before the request is even sent)
+        xla_options=os.environ.get("BENCH_XLA_OPTS", ""),
     )
     cfg0 = config.make_config(dataset=dataset, task=task, step=0,
                               backbone=backbone, crop_size=size,
@@ -226,9 +231,10 @@ def build_ucd_step(dataset, batch, size, method="UCD", backbone="resnet101",
     # miscompiled donated step>0 graphs with INVALID_ARGUMENT); without it
     # the step pays one extra param copy in HBM
     donate = (0,) if os.environ.get("UCD_TPU_DONATE") == "1" else ()
+    xla_opts = config.parse_xla_options(cfg.xla_options)
     train_step = jax.jit(make_train_step(cfg, model, model_old,
                                          total_iters=100),
-                         donate_argnums=donate)
+                         donate_argnums=donate, compiler_options=xla_opts)
 
     # K-step dispatch bundle (cfg.steps_per_call; default 1 = per-step —
     # bundling measured parity on v5e, BASELINE.md r4). BENCH_SPC=K>1
@@ -240,7 +246,7 @@ def build_ucd_step(dataset, batch, size, method="UCD", backbone="resnet101",
         bundle_step = jax.jit(
             make_train_bundle(cfg, model, model_old, total_iters=100,
                               k=spc),
-            donate_argnums=donate)
+            donate_argnums=donate, compiler_options=xla_opts)
         bundle_data = {k_: jnp.stack([v] * spc)
                        for k_, v in batch_data.items()}
     return dict(cfg=cfg, cfg0=cfg0, model=model, model_old=model_old,
@@ -546,7 +552,8 @@ def main():
 
         fused_infer = os.environ.get("BENCH_FUSED", "1") == "1"
 
-        @jax.jit
+        from ucd_tpu.config import parse_xla_options as _pxo
+
         def infer_step(variables, images):
             logits, feats = model.apply(variables, images, train=False)
             if fused_infer:
@@ -555,6 +562,10 @@ def main():
                 from ucd_tpu.ops.fused_eval import fused_argmax
                 return fused_argmax(feats["sem"], images.shape[1:3])
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        infer_step = jax.jit(
+            infer_step,
+            compiler_options=_pxo(os.environ.get("BENCH_XLA_OPTS", "")))
 
         pred = infer_step(variables, batch_data["image"])  # compile
         np.asarray(pred[0, 0, 0])
@@ -580,7 +591,10 @@ def main():
         from ucd_tpu.engine.train import make_eval_step
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        eval_step = jax.jit(make_eval_step(cfg, model, model_old))
+        from ucd_tpu.config import parse_xla_options as _pxo
+        eval_step = jax.jit(
+            make_eval_step(cfg, model, model_old),
+            compiler_options=_pxo(os.environ.get("BENCH_XLA_OPTS", "")))
         hist = empty_confusion(cfg.tot_classes)
         args = (variables, batch_data, hist) + (
             (old_vars,) if model_old is not None else ())

@@ -5,6 +5,12 @@
 # through the tunnel), so the full sweep is ~20-30 min; run it in the
 # background and read /tmp/xla_sweep/results.jsonl.
 #
+# Channel: BENCH_XLA_OPTS -> jit compiler_options. XLA_FLAGS does NOT work
+# here — the local axon PJRT client parses XLA_FLAGS itself and rejects
+# TPU-backend flags before the compile request is sent; compiler_options
+# rides inside the request and reaches the remote TPU compiler (verified:
+# an invalid option errors from the REMOTE compile, a valid one compiles).
+#
 # Motivation (BASELINE.md round-3 trace): ~69% of the step is
 # conv_general_dilated with the early groups HBM-bound at 600-720 GB/s vs
 # 819 peak. The framework-level traffic attacks (S2D stem, bf16 early
@@ -21,12 +27,13 @@ mkdir -p "$OUT"
 
 run_one() {
   local name="$1"; shift
-  local flags="$1"; shift
-  echo "=== $name (XLA_FLAGS=$flags) ===" >&2
+  local opts="$1"; shift
+  echo "=== $name (BENCH_XLA_OPTS=$opts) ===" >&2
   local t0=$SECONDS
   local json
-  json=$(XLA_FLAGS="$flags" BENCH_PARITY=0 BENCH_EXPERIMENT=0 \
-         BENCH_WINDOWS=3 BENCH_WIN_STEPS=8 \
+  json=$(BENCH_XLA_OPTS="$opts" BENCH_PARITY=0 BENCH_EXPERIMENT=0 \
+         BENCH_INFER=0 BENCH_EVAL=0 BENCH_PREDICT=0 BENCH_ADE=0 \
+         BENCH_TRACE=0 BENCH_WINDOWS=3 BENCH_WIN_STEPS=8 \
          python bench.py 2>"$OUT/$name.stderr")
   local rc=$?
   local dt=$((SECONDS - t0))
@@ -45,8 +52,8 @@ print(json.dumps({'config': '$name', 'value': r['value'],
 }
 
 run_one control ""
-run_one vmem48m "--xla_tpu_scoped_vmem_limit_kib=49152"
-run_one vmem96m "--xla_tpu_scoped_vmem_limit_kib=98304"
-run_one lhs "--xla_tpu_enable_latency_hiding_scheduler=true"
-run_one vmem48m_lhs "--xla_tpu_scoped_vmem_limit_kib=49152 --xla_tpu_enable_latency_hiding_scheduler=true"
+run_one vmem48m "xla_tpu_scoped_vmem_limit_kib=49152"
+run_one vmem96m "xla_tpu_scoped_vmem_limit_kib=98304"
+run_one lhs "xla_tpu_enable_latency_hiding_scheduler=true"
+run_one vmem48m_lhs "xla_tpu_scoped_vmem_limit_kib=49152,xla_tpu_enable_latency_hiding_scheduler=true"
 echo "SWEEP DONE" >&2

@@ -57,3 +57,35 @@ def test_poly_lr():
     assert config.poly_lr(0.01, 0, 100) == pytest.approx(0.01)
     assert config.poly_lr(0.01, 50, 100) == pytest.approx(0.01 * 0.5**0.9)
     assert config.poly_lr(0.01, 100, 100) == pytest.approx(0.0)
+
+
+def test_parse_xla_options():
+    """--xla_options -> jit compiler_options dict. XLA_FLAGS cannot carry
+    TPU-backend flags through a remote PJRT client (the LOCAL flag parser
+    rejects them); compiler_options rides the compile request itself."""
+    assert config.parse_xla_options("") is None
+    assert config.parse_xla_options(None) is None
+    assert config.parse_xla_options("k=v") == {"k": "v"}
+    assert config.parse_xla_options(
+        " a = 1 , b=true, C=False ") == {"a": "1", "b": True, "C": False}
+    # values keep embedded '=' (first split only)
+    assert config.parse_xla_options("a=b=c") == {"a": "b=c"}
+    with pytest.raises(ValueError):
+        config.parse_xla_options("novalue")
+
+
+def test_xla_options_cli_and_jit_plumbing():
+    """CLI round-trip + the parsed dict is accepted by jax.jit
+    compiler_options (backend-neutral debug option, compiles and runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ucd_tpu.cli import build_parser, config_from_args
+    args = build_parser().parse_args(
+        ["train", "--dataset", "voc", "--task", "19-1",
+         "--xla_options", "xla_embed_ir_in_executable=true"])
+    cfg = config_from_args(args)
+    assert cfg.xla_options == "xla_embed_ir_in_executable=true"
+    opts = config.parse_xla_options(cfg.xla_options)
+    out = jax.jit(lambda x: x * 2, compiler_options=opts)(jnp.ones((4,)))
+    assert float(out.sum()) == 8.0

@@ -151,6 +151,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "with per-step dispatch (async dispatch already "
                         "hides the gap) — use >1 only on hosts with real "
                         "dispatch latency")
+    p.add_argument("--xla_options", type=str, default="",
+                   help="comma-separated TPU compiler options "
+                        "(k=v, e.g. 'xla_tpu_scoped_vmem_limit_kib=49152') "
+                        "forwarded as jit compiler_options to the train/"
+                        "eval steps. Unlike XLA_FLAGS this reaches remote "
+                        "PJRT backends; TPU-only (the CPU backend rejects "
+                        "TPU flags)")
 
     p.add_argument("--bce", action="store_true", default=False)
     p.add_argument("--unce", action="store_true", default=False)
@@ -266,6 +273,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         pretrained_path=args.pretrained_path, norm_act=args.norm_act,
         pooling=args.pooling, dtype=dtype, remat=args.remat,
         steps_per_call=args.steps_per_call,
+        xla_options=args.xla_options,
         nan_guard=args.nan_guard,
         bce=args.bce, unce=args.unce, unkd=args.unkd, alpha=args.alpha,
         loss_kd=args.loss_kd, loss_de=args.loss_de,

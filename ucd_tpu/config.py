@@ -116,6 +116,16 @@ class Config:
     # already emits bf16 under the compute policy, so an f32 upsample only
     # upcasts rounding noise at 4x the HBM traffic; losses still reduce in
     # f32. This matches the configuration all benchmark numbers use.
+    xla_options: str = ""          # comma-separated TPU compiler options
+                                   # ("xla_tpu_scoped_vmem_limit_kib=49152,
+                                   # ...") forwarded as jit
+                                   # compiler_options to the train/eval
+                                   # steps. XLA_FLAGS cannot carry
+                                   # TPU-backend flags through a PJRT
+                                   # tunnel (the local client's parser
+                                   # rejects them); compiler_options rides
+                                   # the compile request itself. TPU-only:
+                                   # the CPU backend rejects TPU flags.
     bf16_upsample: bool = True
     bf16_norm: bool = False        # BatchNorm compute in bf16 (stats f32)
     bf16_norm_early: bool = False  # bf16 norms on stem+mod2 only (the
@@ -323,6 +333,28 @@ def apply_bug_compatible(cfg: Config) -> Config:
     if cfg.step > 0 and cfg.dataset != "city_domain":
         updates["contrastive"] = True
     return dataclasses.replace(cfg, **updates)
+
+
+def parse_xla_options(s: str):
+    """`"k1=v1,k2=v2"` -> dict for jit compiler_options; ""/None -> None
+    (jit's default). "true"/"false" values become Python bools (XLA's
+    option setter type-checks bools and rejects the strings); everything
+    else stays a string — numeric strings are parsed by the flag setter."""
+    if not s:
+        return None
+    out = {}
+    for part in s.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(f"xla_options entry {part!r} is not k=v")
+        k, v = part.split("=", 1)
+        v = v.strip()
+        if v.lower() in ("true", "false"):
+            v = v.lower() == "true"
+        out[k.strip()] = v
+    return out or None
 
 
 def make_config(**kwargs) -> Config:

@@ -259,10 +259,15 @@ class Experiment:
         # step>0 graphs (INVALID_ARGUMENT); re-enable via UCD_TPU_DONATE=1
         # on backends where donation is sound
         donate = (0,) if os.environ.get("UCD_TPU_DONATE") == "1" else ()
+        # cfg.xla_options: TPU compiler options on the compile request (the
+        # only channel that reaches a remote PJRT backend — XLA_FLAGS is
+        # parsed by the LOCAL client, which rejects TPU flags)
+        from ..config import parse_xla_options
+        xla_opts = parse_xla_options(getattr(cfg, "xla_options", ""))
         self.train_step = jax.jit(
             make_train_step(cfg, self.model, self.model_old,
                             self.total_iters),
-            donate_argnums=donate)
+            donate_argnums=donate, compiler_options=xla_opts)
         # K-step dispatch bundling (cfg.steps_per_call > 1): one lax.scan
         # device call trains K steps over a (K,B,...) stacked batch — same
         # math, 1/K the dispatch count. Off by default: measured parity
@@ -277,9 +282,10 @@ class Experiment:
                 make_train_bundle(cfg, self.model, self.model_old,
                                   self.total_iters,
                                   k=self.steps_per_call),
-                donate_argnums=donate)
+                donate_argnums=donate, compiler_options=xla_opts)
         self.eval_step = jax.jit(make_eval_step(cfg, self.model,
-                                                self.model_old))
+                                                self.model_old),
+                                 compiler_options=xla_opts)
 
         self.cur_epoch = 0
         self.best_score = 0.0
