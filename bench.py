@@ -720,6 +720,8 @@ def main():
     }
     if suspect:
         out["suspect"] = True
+    if os.environ.get("BENCH_XLA_OPTS"):
+        out["xla_options"] = os.environ["BENCH_XLA_OPTS"]   # provenance
     out["raw_window_rates"] = [round(r, 1) for r in raw_rates]
     out["steps_per_call"] = spc
     if per_step_img_per_s is not None:
