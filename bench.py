@@ -302,24 +302,39 @@ def chip_busy_pct_from_trace(run_steps, wall_steps=3):
                                           {"tqx": "out:csv;"})
         text = data if isinstance(data, str) else data.decode("utf-8",
                                                               "replace")
-        # xprof emits Google-DataTable JSON: a list of tables, each with
-        # cols [{id,label,...}] and rows [{c: [{v: ...}, ...]}]
-        tables = json.loads(text)
+        # the installed xprof returns Google-DataTable JSON (a list of
+        # tables with cols [{id,...}] and rows [{c: [{v: ...}]}]) even for
+        # the tqx=out:csv request; other versions may honor the CSV form —
+        # parse whichever arrived instead of silently dropping the metric
         dev_us = 0.0
-        for table in tables if isinstance(tables, list) else [tables]:
-            ids = [c.get("id") for c in table.get("cols", [])]
-            if "host_or_device" not in ids or "total_self_time" not in ids:
-                continue
-            i_hd = ids.index("host_or_device")
-            i_st = ids.index("total_self_time")
-            for row in table.get("rows", []):
-                cells = row.get("c", [])
-                hd = str(cells[i_hd].get("v", "")).strip().lower()
-                if hd == "host":
+        try:
+            tables = json.loads(text)
+        except ValueError:
+            import csv as _csv
+            rows = list(_csv.reader(text.splitlines()))
+            if not rows or "host_or_device" not in rows[0]:
+                return None
+            i_hd = rows[0].index("host_or_device")
+            i_st = rows[0].index("total_self_time")
+            for r in rows[1:]:
+                if len(r) > max(i_hd, i_st) and r[i_hd].strip().lower() != "host":
+                    dev_us += float(r[i_st] or 0.0)
+        else:
+            for table in tables if isinstance(tables, list) else [tables]:
+                ids = [c.get("id") for c in table.get("cols", [])]
+                if ("host_or_device" not in ids
+                        or "total_self_time" not in ids):
                     continue
-                v = cells[i_st].get("v", 0.0)
-                dev_us += float(v or 0.0)
-            break
+                i_hd = ids.index("host_or_device")
+                i_st = ids.index("total_self_time")
+                for row in table.get("rows", []):
+                    cells = row.get("c", [])
+                    hd = str(cells[i_hd].get("v", "")).strip().lower()
+                    if hd == "host":
+                        continue
+                    v = cells[i_st].get("v", 0.0)
+                    dev_us += float(v or 0.0)
+                break
         if dev_us <= 0:
             return None
         return min(100.0, 100.0 * (dev_us / 1e6) / wall)
@@ -616,6 +631,7 @@ def main():
     # forward (VERDICT r3 item 4 done-bar: within ~2x of inference_images_per_s)
     predict_img_per_s = None
     if os.environ.get("BENCH_PREDICT", "1") == "1" and method == "UCD":
+        _progress("predict-CLI bench")
         import tempfile
 
         from PIL import Image
@@ -634,13 +650,24 @@ def main():
                 os.path.join(imgdir, f"b{i:03d}.png"))
         files = collect_images(imgdir)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # ONE Predictor shared by warmup and every timed run: each
+        # predict_paths call would otherwise build fresh jit closures, so
+        # the timed regions would measure retraces/compiles instead of the
+        # serving path (and the batch-1 comparison below would time its
+        # first-ever XLA compile)
+        from ucd_tpu.engine.predictor import Predictor
+        from ucd_tpu.ops.fused_loss import _on_tpu
+        sp = Predictor(model, variables,
+                       fused=os.environ.get("BENCH_FUSED", "1") == "1"
+                       and _on_tpu())
         predict_paths(model, variables, files[:2 * batch], outdir,
                       dataset=dataset, bucket=512, batch_size=batch,
-                      save_color=False, save_ids=True)     # compile+warmup
+                      save_color=False, save_ids=True,
+                      predictor=sp)                        # compile+warmup
         t0 = time.perf_counter()
         predict_paths(model, variables, files, outdir, dataset=dataset,
                       bucket=512, batch_size=batch,
-                      save_color=False, save_ids=True)
+                      save_color=False, save_ids=True, predictor=sp)
         predict_img_per_s = n_img / (time.perf_counter() - t0)
 
         # context for the absolute number: unlike the other benches (which
@@ -659,10 +686,13 @@ def main():
         h2d_mb_s = reps * one.nbytes / 1e6 / (time.perf_counter() - t0)
 
         n1 = min(len(files), 2 * batch)
+        predict_paths(model, variables, files[:2], outdir, dataset=dataset,
+                      bucket=512, batch_size=1, save_color=False,
+                      save_ids=True, predictor=sp)  # compile the (1,...) program
         t0 = time.perf_counter()
         predict_paths(model, variables, files[:n1], outdir, dataset=dataset,
                       bucket=512, batch_size=1,
-                      save_color=False, save_ids=True)
+                      save_color=False, save_ids=True, predictor=sp)
         batch1_rate = n1 / (time.perf_counter() - t0)
         predict_speedup = predict_img_per_s / max(batch1_rate, 1e-9)
 

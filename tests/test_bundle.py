@@ -135,6 +135,57 @@ def test_bundle_sharded_matches_unsharded(rng, x64):
 
 
 @pytest.mark.slow
+def test_bundled_epoch_short_batch_keeps_order(tmp_path, x64):
+    """A drop_last=False-style loader can yield a SHORT batch mid-epoch.
+    The bundled loop must flush its buffered full batches before training
+    the short one, or the optimizer trajectory silently reorders vs the
+    per-step path (buffered batch 1 trained AFTER the later short batch 2).
+    Sequence [full, short, full, full] with K=2 exercises exactly that:
+    flush-of-one + short + one full bundle."""
+    from ucd_tpu.data import SyntheticSegmentation
+    from ucd_tpu.engine.experiment import Experiment
+
+    rng = np.random.RandomState(5)
+    cfg0 = config.make_config(dataset="voc", task="19-1", step=0,
+                              method="FT", backbone="resnet50",
+                              crop_size=SIZE, batch_size=B, dtype="float64",
+                              pretrained=False)
+    seq = [_batches(rng, cfg0, 1, batch=b)[0] for b in (B, 2, B, B)]
+
+    class _SeqLoader:
+        batch_size = B
+
+        def __len__(self):
+            return len(seq)
+
+        def epoch(self, epoch):
+            return iter([dict(b) for b in seq])
+
+    def run(spc, tag):
+        cfg = config.make_config(
+            dataset="voc", task="19-1", step=0, method="FT", epochs=1,
+            batch_size=B, crop_size=SIZE, backbone="resnet50",
+            dtype="float64", pretrained=False, overlap=True,
+            steps_per_call=spc, logdir=str(tmp_path / f"slog{tag}"),
+            ckpt_dir=str(tmp_path / f"sck{tag}"), name=f"short{tag}")
+        tr = SyntheticSegmentation(n=2 * B, size=SIZE, n_classes=21, seed=0)
+        va = SyntheticSegmentation(n=B, size=SIZE, n_classes=21, seed=1)
+        exp = Experiment(cfg, base_train=tr, base_val=va)
+        exp.train_loader = _SeqLoader()
+        return exp, exp.train_epoch(0)
+
+    exp1, m1 = run(1, "a")
+    exp2, m2 = run(2, "b")
+    for key in ("loss_tot", "loss", "lr"):
+        assert abs(m1[key] - m2[key]) <= 1e-4 * max(abs(m1[key]), 1e-3), \
+            (key, m1[key], m2[key])
+    for a, b in zip(jax.tree_util.tree_leaves(exp1.state.params),
+                    jax.tree_util.tree_leaves(exp2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_experiment_bundled_epoch_matches_per_step(tmp_path, x64):
     """Full product-loop equivalence incl. the epoch tail: 3 batches with
     steps_per_call=2 -> one bundle + one per-step tail dispatch, identical

@@ -214,6 +214,46 @@ def test_predict_paths_stem_collision(exported, tmp_path):
     assert all(os.path.exists(p) for p in written)
 
 
+def test_stem_collision_naming_is_batch_size_invariant(exported, tmp_path):
+    """WHICH colliding input gets the bare stem and which gets the _1
+    suffix is decided by INPUT order, not by flush order: a.jpg (a later,
+    different-bucket duplicate stem) must not steal 'a_ids.png' from a.png
+    just because its bucket happened to flush first under batching."""
+    cfg, model, variables, out, meta, d = exported
+    ex_model, ex_vars, _ = load_inference(out)
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    rng = np.random.RandomState(6)
+    # collect_images sorts: a.jpg (the LONE 64x128-bucket image) precedes
+    # a.png (64x64 bucket). At batch_size=3 the fillers make a.png's
+    # bucket fill and flush FIRST while a.jpg still waits — so write-order
+    # stem assignment (the old bug) would hand a.png the bare 'a' stem
+    # that input order owes to a.jpg
+    Image.fromarray(rng.randint(0, 255, (40, 100, 3), np.uint8)).save(
+        imgdir / "a.jpg")
+    Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+        imgdir / "a.png")
+    for n in ("y.png", "z.png"):
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+            imgdir / n)
+    files = collect_images(str(imgdir))
+    assert [os.path.basename(f) for f in files] == [
+        "a.jpg", "a.png", "y.png", "z.png"]
+
+    outs = {}
+    for tag, bs in (("b1", 1), ("b3", 3)):
+        predict_paths(ex_model, ex_vars, files, str(tmp_path / tag),
+                      dataset=meta["dataset"], bucket=64, batch_size=bs,
+                      save_ids=True, save_color=False, fused=False)
+        outs[tag] = {p: np.asarray(Image.open(tmp_path / tag / p)).shape
+                     for p in ("a_ids.png", "a_1_ids.png")}
+    # same file gets the same input's prediction at every batch size:
+    # a.jpg (first in input order, 40x100) owns the bare stem in both runs
+    assert outs["b1"] == outs["b3"]
+    assert outs["b1"]["a_ids.png"] == (40, 100)
+    assert outs["b1"]["a_1_ids.png"] == (64, 64)
+
+
 def test_city_domain_palette():
     """predict over a city_domain export must not crash on the palette
     (train-ids 0..18; 0 = road = the full palette's entry 1)."""

@@ -234,3 +234,74 @@ def test_microbatcher_surfaces_errors():
             mb.submit(np.zeros((32, 32, 3), np.uint8))
     finally:
         mb.close()
+
+
+def test_microbatcher_close_never_strands_a_waiter():
+    """submit after close raises instead of blocking forever, and requests
+    in flight at close time all complete (result or error, no hang)."""
+    import time as _time
+
+    class _Slow(_CountingPredictor):
+        def predict_labels(self, arr):
+            _time.sleep(0.05)
+            return super().predict_labels(arr)
+
+    mb = MicroBatcher(_Slow(), bucket=32, batch_size=2, max_wait_ms=20.0)
+    img = np.zeros((32, 32, 3), np.uint8)
+    outcomes = []
+
+    def worker():
+        try:
+            outcomes.append(("ok", mb.submit(img)))
+        except RuntimeError as e:
+            outcomes.append(("err", e))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    _time.sleep(0.01)
+    mb.close()
+    for t in threads:
+        t.join(timeout=10.0)
+        assert not t.is_alive(), "a waiter hung across close()"
+    assert len(outcomes) == 4
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(img)
+
+
+def test_keepalive_connection_survives_error_response(server):
+    """Error paths must DRAIN the posted body: this is an HTTP/1.1
+    keep-alive handler, so an unread multi-KB image body would be parsed
+    as the next request line and poison the connection for the request
+    that follows (the review bug: 404/400 returned before rfile.read)."""
+    import http.client
+
+    host, port = server.server_address[:2]
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    try:
+        # request 1: big body to a bad route -> 404, body must be drained
+        conn.request("POST", "/not-a-route", body=png)
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        # request 2, SAME connection: must parse cleanly and succeed
+        conn.request("POST", "/predict?format=ids", body=png)
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        got = np.asarray(Image.open(io.BytesIO(r2.read())))
+        assert got.shape == (32, 32)
+        # request 3: bad format (error after body was readable) then reuse
+        conn.request("POST", "/predict?format=bogus", body=png)
+        r3 = conn.getresponse()
+        assert r3.status == 400
+        r3.read()
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+    finally:
+        conn.close()

@@ -344,6 +344,13 @@ class Experiment:
             # build a multi-host global array)
             return {k: jax.make_array_from_process_local_data(self.data_sh, v)
                     for k, v in batch.items()}
+        if batch["label"].shape[0] % self.mesh.devices.size:
+            # a drop_last=False loader's short batch can't shard over the
+            # mesh: replicate it instead. The step is plain-jit SPMD (no
+            # explicit collectives), so a replicated batch computes the
+            # exact single-device math — it just runs unparallelized for
+            # this one (rare, differently-shaped-anyway) dispatch.
+            return {k: jax.device_put(v, self.rep) for k, v in batch.items()}
         return {k: jax.device_put(v, self.data_sh) for k, v in batch.items()}
 
     def _put_bundle(self, stacked):
@@ -417,7 +424,20 @@ class Experiment:
                     n += k_bundle
                     since_print += k_bundle
             else:
-                # per-step path: bundling off, or an odd-shaped batch
+                # per-step path: bundling off, or an odd-shaped batch.
+                # Flush buffered full batches FIRST so the optimizer
+                # trajectory keeps the loader's order — a drop_last=False
+                # loader can yield a short batch mid-epoch, and training it
+                # ahead of earlier buffered batches would silently diverge
+                # from the steps_per_call=1 trajectory.
+                for b in buf:
+                    self.state, m = self.train_step(self.state,
+                                                    self._put_batch(b),
+                                                    self.old_vars)
+                    n += 1
+                    since_print += 1
+                    pending.append(m)
+                buf.clear()
                 self.state, m = self.train_step(self.state,
                                                 self._put_batch(batch),
                                                 self.old_vars)

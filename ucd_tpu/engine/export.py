@@ -162,13 +162,38 @@ def _bucket_hw(h: int, w: int, multiple: int) -> Tuple[int, int]:
     return -(-h // multiple) * multiple, -(-w // multiple) * multiple
 
 
+def run_padded_chunk(predictor, key: Tuple[int, int], imgs: Sequence[tuple],
+                     batch_size: int, full_seen: set) -> Tuple[list, int]:
+    """One batched device call over `imgs` = [(img_u8 HWC, h, w), ...], all
+    padded into the (hb, wb) spatial bucket `key`.
+
+    A partial chunk pads the BATCH dim back up to `batch_size` when a full
+    chunk already compiled for this bucket (program reuse beats a fresh
+    multi-minute XLA compile); a bucket that has never seen a full chunk
+    runs at its natural size. Full chunks are recorded in `full_seen`.
+    Shared by `predict_paths` and the serving MicroBatcher so the subtle
+    pad-back logic exists exactly once. Returns (per-image (h, w) uint8
+    class maps cropped to native size, padded row count)."""
+    hb, wb = key
+    n = len(imgs)
+    run_n = batch_size if (n == batch_size or key in full_seen) else n
+    arr = np.zeros((run_n, hb, wb, 3), np.uint8)
+    for i, (img, h, w) in enumerate(imgs):
+        arr[i, :h, :w] = img
+    preds = np.asarray(predictor.predict_labels(arr))
+    if n == batch_size:
+        full_seen.add(key)
+    return ([preds[i, :h, :w].astype(np.uint8)
+             for i, (_, h, w) in enumerate(imgs)], run_n - n)
+
+
 def predict_paths(model, variables, image_paths: Sequence[str],
                   out_dir: str, dataset: str = "voc", *,
                   bucket: int = 128, batch_size: int = 8,
                   fusion_mode: str = "mean",
                   scales: Sequence[float] = (1.0,), flip: bool = False,
                   save_color: bool = True, save_ids: bool = False,
-                  fused: bool = True) -> list:
+                  fused: bool = True, predictor=None) -> list:
     """Predict class maps for arbitrary image files; returns written paths.
 
     Images ship as raw uint8 (the device normalizes — uint8 input
@@ -191,24 +216,19 @@ def predict_paths(model, variables, image_paths: Sequence[str],
 
     # the fused upsample+argmax kernel only pays off on real TPU hardware;
     # off-TPU it would run in Mosaic interpret mode — orders of magnitude
-    # slower than the dense argmax a CPU/GPU serving host wants
-    predictor = Predictor(model, variables, fusion_mode=fusion_mode,
-                          flip=flip, scales=scales,
-                          fused=fused and _on_tpu())
+    # slower than the dense argmax a CPU/GPU serving host wants. A caller
+    # that runs predict_paths repeatedly (e.g. the bench) passes its own
+    # `predictor` so the jitted programs are compiled once and reused.
+    if predictor is None:
+        predictor = Predictor(model, variables, fusion_mode=fusion_mode,
+                              flip=flip, scales=scales,
+                              fused=fused and _on_tpu())
     to_color = Label2Color(color_map(dataset))
     os.makedirs(out_dir, exist_ok=True)
     batch_size = max(int(batch_size), 1)
     written = []
-    used_stems: dict = {}
 
-    def write_one(preds, path, h, w):
-        preds = preds[:h, :w].astype(np.uint8)
-        stem = os.path.splitext(os.path.basename(path))[0]
-        # a.png and a.jpg in one directory must not clobber each other
-        k = used_stems.get(stem, 0)
-        used_stems[stem] = k + 1
-        if k:
-            stem = f"{stem}_{k}"
+    def write_one(preds, stem):
         if save_ids:
             out = os.path.join(out_dir, f"{stem}_ids.png")
             Image.fromarray(preds, mode="L").save(out)
@@ -218,30 +238,33 @@ def predict_paths(model, variables, image_paths: Sequence[str],
             Image.fromarray(to_color(preds).astype(np.uint8)).save(out)
             written.append(out)
 
-    pending: dict = {}      # (hb, wb) -> [(path, img uint8 HWC, h, w), ...]
+    pending: dict = {}      # (hb, wb) -> [((img u8 HWC, h, w), stem), ...]
     full_seen: set = set()  # buckets that already ran a full-size chunk
 
     def flush(key):
         group = pending.pop(key, [])
         if not group:
             return
-        hb, wb = key
-        n = len(group)
-        run_n = batch_size if (n == batch_size or key in full_seen) else n
-        arr = np.zeros((run_n, hb, wb, 3), np.uint8)
-        for i, (_, img, h, w) in enumerate(group):
-            arr[i, :h, :w] = img
-        preds = np.asarray(predictor.predict_labels(arr))
-        if n == batch_size:
-            full_seen.add(key)
-        for i, (path, _, h, w) in enumerate(group):
-            write_one(preds[i], path, h, w)
+        preds, _ = run_padded_chunk(predictor, key, [g[0] for g in group],
+                                    batch_size, full_seen)
+        for p, (_, stem) in zip(preds, group):
+            write_one(p, stem)
 
+    used_stems: dict = {}
     for p in image_paths:
         img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
         h, w = img.shape[:2]
         key = _bucket_hw(h, w, bucket)
-        pending.setdefault(key, []).append((p, img, h, w))
+        # output stems are assigned in INPUT order (not flush order, which
+        # depends on batch_size/bucket fill): a.png and a.jpg in one
+        # directory must not clobber each other, and which one gets the
+        # "_1" suffix must not change with batching parameters
+        stem = os.path.splitext(os.path.basename(p))[0]
+        k = used_stems.get(stem, 0)
+        used_stems[stem] = k + 1
+        if k:
+            stem = f"{stem}_{k}"
+        pending.setdefault(key, []).append(((img, h, w), stem))
         if len(pending[key]) == batch_size:
             flush(key)
     for key in list(pending):

@@ -35,7 +35,7 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from .export import _bucket_hw
+from .export import _bucket_hw, run_padded_chunk
 
 
 class _Item:
@@ -67,6 +67,7 @@ class MicroBatcher:
         self.batch_size = max(int(batch_size), 1)
         self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
         self._q: queue.Queue = queue.Queue()
+        self._closed = False
         self._lock = threading.Lock()
         self._stats = {"batches": 0, "images": 0, "padded_rows": 0}
         self._full_seen: set = set()
@@ -77,6 +78,8 @@ class MicroBatcher:
     def submit(self, img_u8: np.ndarray) -> np.ndarray:
         """uint8 HWC image -> (h, w) uint8 class-id map. Thread-safe;
         blocks until this request's batch has run."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
         if img_u8.ndim != 3 or img_u8.shape[-1] != 3:
             raise ValueError(f"expected HWC RGB image, got {img_u8.shape}")
         it = _Item(np.ascontiguousarray(img_u8, np.uint8), self.bucket)
@@ -91,8 +94,25 @@ class MicroBatcher:
             return dict(self._stats)
 
     def close(self):
+        # order matters: flag first (new submits raise instead of blocking
+        # forever), then the sentinel, then drain anything that slipped in
+        # between the flag check and the sentinel — every already-queued
+        # waiter gets either a result (dispatched by _loop on its way out)
+        # or an error, never an eternally-unset event
+        self._closed = True
         self._q.put(None)
         self._thread.join(timeout=5.0)
+        self._fail_queued(RuntimeError("MicroBatcher is closed"))
+
+    def _fail_queued(self, err: Exception):
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if it is not None and not it.event.is_set():
+                it.error = err
+                it.event.set()
 
     # -- batcher thread --
 
@@ -128,26 +148,18 @@ class MicroBatcher:
                 self._run_chunk(key, items[i:i + self.batch_size])
 
     def _run_chunk(self, key, items):
-        hb, wb = key
-        n = len(items)
-        # pad a partial chunk back up to the already-compiled batch: program
-        # reuse beats a fresh multi-minute XLA compile. A bucket that has
-        # never seen a full chunk runs at its natural size.
-        run_n = self.batch_size if (n == self.batch_size
-                                    or key in self._full_seen) else n
+        # pad-back-to-compiled-batch logic lives in export.run_padded_chunk
+        # (one copy, shared with predict_paths and its equivalence test)
         try:
-            arr = np.zeros((run_n, hb, wb, 3), np.uint8)
-            for i, it in enumerate(items):
-                arr[i, :it.h, :it.w] = it.img
-            preds = np.asarray(self.predictor.predict_labels(arr))
-            if n == self.batch_size:
-                self._full_seen.add(key)
+            preds, padded = run_padded_chunk(
+                self.predictor, key, [(it.img, it.h, it.w) for it in items],
+                self.batch_size, self._full_seen)
             with self._lock:
                 self._stats["batches"] += 1
-                self._stats["images"] += n
-                self._stats["padded_rows"] += run_n - n
-            for i, it in enumerate(items):
-                it.result = preds[i, :it.h, :it.w].astype(np.uint8)
+                self._stats["images"] += len(items)
+                self._stats["padded_rows"] += padded
+            for p, it in zip(preds, items):
+                it.result = p
                 it.event.set()
         except Exception as e:  # surface device errors to every waiter
             for it in items:
@@ -190,6 +202,20 @@ class _Handler(BaseHTTPRequestHandler):
         from PIL import Image
 
         url = urlparse(self.path)
+        # drain the body BEFORE any (error) response: this is an HTTP/1.1
+        # keep-alive handler, so an unread multi-MB image body would be
+        # parsed as the connection's next request line. No/bad
+        # Content-Length (e.g. chunked encoding) can't be drained — close
+        # the connection instead of desynchronizing it.
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            length = 0
+        if length > 0:
+            body = self.rfile.read(length)
+        else:
+            body = b""
+            self.close_connection = True
         if url.path != "/predict":
             self._send_json(404, {"error": f"no route {url.path!r}"})
             return
@@ -199,12 +225,10 @@ class _Handler(BaseHTTPRequestHandler):
                                            "('ids', 'color', 'json')"})
             return
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            if length <= 0:
+            if not body:
                 raise ValueError("empty body")
             img = np.asarray(
-                Image.open(io.BytesIO(self.rfile.read(length)))
-                .convert("RGB"), np.uint8)
+                Image.open(io.BytesIO(body)).convert("RGB"), np.uint8)
         except Exception as e:
             self._send_json(400, {"error": f"bad image body: {e}"})
             return
@@ -275,17 +299,27 @@ def serve(npz_path: str, host: str = "127.0.0.1", port: int = 8433,
     if warmup_size > 0:
         # compile the full-batch program for the warmup bucket BEFORE
         # accepting traffic: first-request latency drops from minutes
-        # (XLA compile) to milliseconds
+        # (XLA compile) to milliseconds. The serving max_wait (ms-scale) is
+        # temporarily widened so slow warmup-thread startup on a loaded host
+        # can't split the batch into partial-size programs — the whole point
+        # is to compile the FULL batch exactly once.
         batcher: MicroBatcher = srv.batcher  # type: ignore[attr-defined]
         img = np.zeros((warmup_size, warmup_size, 3), np.uint8)
-        threads = [threading.Thread(target=batcher.submit, args=(img,))
-                   for _ in range(batcher.batch_size)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        serving_wait, batcher.max_wait = batcher.max_wait, 5.0
+        try:
+            threads = [threading.Thread(target=batcher.submit, args=(img,))
+                       for _ in range(batcher.batch_size)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            batcher.max_wait = serving_wait
+        full = batcher.stats()["batches"] == 1
         print(f"[serve] warmed up {warmup_size}x{warmup_size} "
-              f"batch-{batcher.batch_size} program")
+              f"batch-{batcher.batch_size} program"
+              + ("" if full else " (split into partial batches; the full-"
+                 "batch program compiles on first full-batch traffic)"))
     print(f"[serve] listening on http://{host}:{srv.server_address[1]} "
           f"(POST /predict?format=ids|color|json, GET /healthz)")
     try:
