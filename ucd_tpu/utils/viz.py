@@ -113,6 +113,19 @@ class Label2Color:
         return self.cmap[np.clip(lbls, 0, len(self.cmap) - 1)]
 
 
+def palette_png(ids_u8: np.ndarray, cmap: np.ndarray):
+    """(h, w) uint8 class-id map -> palettized PIL image whose decoded RGB
+    equals ``Label2Color(cmap)(ids)``, at 1/3 the pixel bytes to encode —
+    PNG encode is the hot host op on the predict/serve path, and every
+    dataset palette here is exactly (256, 3) uint8 so P-mode is lossless."""
+    from PIL import Image
+
+    assert cmap.shape == (256, 3) and cmap.dtype == np.uint8, cmap.shape
+    im = Image.fromarray(ids_u8, mode="P")
+    im.putpalette(cmap.astype(np.uint8).reshape(-1))
+    return im
+
+
 class Denormalize:
     """Undo ImageNet normalization for visualization (NHWC numpy)."""
 
