@@ -75,6 +75,25 @@ def build_step():
             rng.randint(0, cfg.tot_classes, size=(batch, size, size)),
             jnp.int32),
     }
+    # PROFILE_TARGET=eval captures the validate-path program instead
+    # (VERDICT r4 next #4: the eval decomposition was never traced)
+    if os.environ.get("PROFILE_TARGET", "train") == "eval":
+        from ucd_tpu.engine.metrics import empty_confusion
+        from ucd_tpu.engine.train import make_eval_step
+
+        eval_fn = jax.jit(make_eval_step(cfg, model, model_old))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        hist0 = empty_confusion(cfg.tot_classes)
+
+        def step(state_unused, batch, old):
+            args = (variables, batch, hist0) + (
+                (old,) if model_old is not None else ())
+            h, losses, _ = eval_fn(*args)
+            return state_unused, {"loss_tot": losses["loss"], "hist": h}
+
+        return step, state, batch_data, old_vars, batch
+
     donate = (0,) if os.environ.get("UCD_TPU_DONATE") == "1" else ()
     train_step = jax.jit(make_train_step(cfg, model, model_old,
                                          total_iters=100),

@@ -1,0 +1,106 @@
+"""bf16 dtype-policy regression guard (VERDICT r4 next #9).
+
+The composed f64 oracle (test_train_step_parity.py) pins the MATH of the
+train step but runs the model at a test-only float64 dtype — a regression in
+the production mixed-precision policy (bf16 compute + f32 masters, SURVEY
+§2.4 apex-amp analog) is invisible to it. This test runs N steps of the
+production bf16 config and the same steps at float64 on the SAME synthetic
+task and asserts the trajectories stay inside an empirically-set band:
+
+  * per-step loss_tot relative divergence, and
+  * per-step global update-norm ratio.
+
+What the band catches: a loss term accidentally computed/reduced in bf16
+(the loss chain is specified f32 — ops/losses.py casts logits up), momentum
+or weight-decay accumulating in bf16 (masters are f32), a missing f32 cast
+in the contrastive prep. Each of those moves the trajectory by far more
+than the band (e.g. bf16 momentum drifts the update norm by >2x within a
+few steps at these scales); correct bf16-vs-f64 rounding measured ~1e-2
+loss / <10% update-norm drift over 6 steps on this task (band = 5x the
+measured envelope, tight enough that a policy regression's order-of-
+magnitude signature cannot hide)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ucd_tpu import config
+from ucd_tpu.engine import build_train_state, make_train_step
+from ucd_tpu.models import make_model
+
+pytestmark = pytest.mark.slow
+
+SIZE = 48
+B = 2
+N_STEPS = 6
+
+
+@pytest.fixture
+def x64():
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", prev)
+
+
+def _trajectory(dtype, batches, rng_seed=0):
+    """N UCD steps at the given model dtype; returns (losses, update_norms)."""
+    import jax.numpy as jnp
+
+    cfg0 = config.make_config(dataset="voc", task="19-1", step=0,
+                              method="FT", backbone="resnet50",
+                              crop_size=SIZE, batch_size=B, dtype=dtype,
+                              use_pallas_contrastive=False, fused_loss=False)
+    cfg = config.make_config(dataset="voc", task="19-1", step=1,
+                             method="UCD", backbone="resnet50",
+                             crop_size=SIZE, batch_size=B, dtype=dtype,
+                             contrastive_capacity=128,
+                             use_pallas_contrastive=False, fused_loss=False)
+    model_old = make_model(cfg, classes=cfg.classes_per_step[:-1])
+    state0, _ = build_train_state(cfg0, model_old, jax.random.key(0),
+                                  total_iters=N_STEPS,
+                                  input_shape=(1, SIZE, SIZE, 3))
+    prev = {"params": state0.params, "batch_stats": state0.batch_stats}
+    model = make_model(cfg)
+    state, old_vars = build_train_state(cfg, model, jax.random.key(1),
+                                        total_iters=N_STEPS,
+                                        prev_model_state=prev,
+                                        input_shape=(1, SIZE, SIZE, 3))
+    step = jax.jit(make_train_step(cfg, model, model_old,
+                                   total_iters=N_STEPS))
+    losses, unorms = [], []
+    params_prev = jax.tree_util.tree_map(np.asarray, state.params)
+    for batch in batches:
+        state, m = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                        old_vars)
+        losses.append(float(m["loss_tot"]))
+        params_now = jax.tree_util.tree_map(np.asarray, state.params)
+        un = np.sqrt(sum(
+            float(np.sum((np.asarray(a, np.float64)
+                          - np.asarray(b, np.float64)) ** 2))
+            for a, b in zip(jax.tree_util.tree_leaves(params_now),
+                            jax.tree_util.tree_leaves(params_prev))))
+        unorms.append(un)
+        params_prev = params_now
+    return np.asarray(losses), np.asarray(unorms)
+
+
+def test_bf16_trajectory_stays_in_band(rng, x64):
+    batches = []
+    for _ in range(N_STEPS):
+        img = rng.randn(B, SIZE, SIZE, 3).astype(np.float32)
+        lab = rng.randint(0, 21, size=(B, SIZE, SIZE)).astype(np.int32)
+        batches.append({"image": img, "label": lab})
+
+    loss_bf, un_bf = _trajectory("bfloat16", batches)
+    loss_64, un_64 = _trajectory("float64", batches)
+
+    assert np.all(np.isfinite(loss_bf)) and np.all(np.isfinite(un_bf))
+    # band: 5x the measured correct-policy envelope (see module docstring)
+    rel_loss = np.abs(loss_bf - loss_64) / np.abs(loss_64)
+    assert rel_loss.max() <= 0.10, (
+        f"bf16 loss trajectory diverged: per-step relerr {rel_loss}")
+    ratio = un_bf / un_64
+    assert np.all((ratio > 0.6) & (ratio < 1.67)), (
+        f"bf16 update-norm trajectory diverged: ratios {ratio}")

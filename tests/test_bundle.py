@@ -66,6 +66,7 @@ def _batches(rng, cfg, n, batch=B):
     } for _ in range(n)]
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_bundle_matches_per_step_sequence(rng, x64):
     cfg, model, state = _build()
     batches = _batches(rng, cfg, K)
@@ -102,6 +103,7 @@ def test_bundle_matches_per_step_sequence(rng, x64):
     assert int(s_bun.step) == int(s_ref.step)
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_bundle_sharded_matches_unsharded(rng, x64):
     if jax.device_count() < 8:
         pytest.skip("needs the 8-device virtual mesh")

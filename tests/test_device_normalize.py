@@ -35,6 +35,7 @@ def test_normalize_uint8_matches_host():
     np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_model_uint8_input_equals_normalized_f32():
     """model(uint8) == model(host-normalized f32) — logits and features."""
     model, v = _model_and_vars()

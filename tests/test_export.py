@@ -111,6 +111,7 @@ def test_predict_paths_writes_pngs(exported, tmp_path):
     assert ids.shape == (50, 61) and ids.max() < cfg.tot_classes
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_batched_predict_matches_batch1(exported, tmp_path):
     """Same-bucket batching (VERDICT r3 item 4): grouping images into
     batch_size device calls must match the batch-1 path, including the
@@ -150,6 +151,7 @@ def test_batched_predict_matches_batch1(exported, tmp_path):
             f"img{i}: {(a != b).sum()} px differ between batch sizes")
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_threaded_io_deterministic_and_palette_exact(exported, tmp_path):
     """The threaded host IO path (VERDICT r4 next #3: decode window + encode
     pool) must be a pure speedup: io_workers=1 and io_workers=8 write
@@ -185,6 +187,7 @@ def test_threaded_io_deterministic_and_palette_exact(exported, tmp_path):
         np.testing.assert_array_equal(rgb, to_color(b))
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_classes_derived_from_checkpoint_not_flags(tmp_path, capsys):
     """A stale/defaulted --task/--step cannot mis-describe the export: the
     per-step class list is read off the checkpoint's cls_{i} kernels. (As
@@ -249,6 +252,7 @@ def test_predict_paths_stem_collision(exported, tmp_path):
     assert all(os.path.exists(p) for p in written)
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_stem_collision_naming_is_batch_size_invariant(exported, tmp_path):
     """WHICH colliding input gets the bare stem and which gets the _1
     suffix is decided by INPUT order, not by flush order: a.jpg (a later,

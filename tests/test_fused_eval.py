@@ -129,6 +129,7 @@ def _eval_setup(fused_loss):
     return cfg, model, model_old, v, vo_shape
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_eval_step_fused_matches_dense():
     """make_eval_step with fused_loss=True produces the same confusion
     matrix and loss/kd values (to f32 tolerance) as the dense eval path —
@@ -161,6 +162,7 @@ def test_eval_step_fused_matches_dense():
                                    atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_predictor_labels_fast_path():
     """Predictor.predict_labels (fused single-view path) == the dense
     __call__ predictions."""

@@ -65,6 +65,7 @@ def test_mode_matrix_voc_shape(ce_mode, kd_mode, rng):
                    ce_mode=ce_mode, kd_mode=kd_mode)
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_ade_scale_class_count(rng):
     """C=151 crosses several 8-sublane class tiles; Co=101 exercises the
     unbiased-KD class partition at a non-multiple boundary."""
@@ -72,6 +73,7 @@ def test_ade_scale_class_count(rng):
     _assert_parity(z, t, lab, old_cl=101, ce_mode="unce", kd_mode="unkd")
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_non_divisible_height_and_narrow_width(rng):
     """H=44 is not a multiple of the 8-row tile (padded rows must contribute
     nothing) and W=40 < the 128 lane tile (in-bounds masking)."""
@@ -79,6 +81,7 @@ def test_non_divisible_height_and_narrow_width(rng):
     _assert_parity(z, t, lab, old_cl=6, ce_mode="unce", kd_mode="unkd")
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_alpha_scaling(rng):
     z, t, lab = _case(rng, B=1, h=4, w=4, C=11, Co=6, H=32, W=32)
     _assert_parity(z, t, lab, old_cl=6, ce_mode="unce", kd_mode="unkd",

@@ -43,6 +43,7 @@ def test_forward_matches_dense_nonaligned_sizes(rng):
     np.testing.assert_allclose(float(kernel), float(dense), rtol=1e-5)
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_gradient_matches_dense(rng):
     batch = make_batch(rng, B=1, H=16, W=16, h=4, w=4, N=8, C=5)
 
@@ -90,6 +91,7 @@ def test_ade_scale_class_count(rng):
     np.testing.assert_allclose(float(kernel), float(dense), rtol=1e-5)
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_capacity_compaction_nonaligned(rng):
     """Capacity compaction to a non-tile-multiple anchor budget (P=100,
     M=200) still matches the dense loss on the same compacted batch."""

@@ -148,6 +148,7 @@ def test_healthz_and_errors(server):
     assert e.value.code == 404
 
 
+@pytest.mark.slow  # re-tiered r5: keep the default selection <5 min
 def test_concurrent_requests_match_serial(server, npz_path):
     """8 concurrent mixed-size posts (two buckets, more than one batch):
     every response must equal the direct batch-1 prediction."""
