@@ -888,6 +888,25 @@ def main():
         n_clients = int(os.environ.get("BENCH_SERVE_CLIENTS", "16"))
         reqs_per_client = int(os.environ.get("BENCH_SERVE_REQS", "6"))
 
+        # pre-compile the FULL-batch program via direct batcher submits
+        # (exactly like `serve --warmup_size`): afterwards every partial
+        # chunk pads back to the compiled batch, so the client waves hit
+        # ONE XLA program instead of compiling one per coincidental
+        # partial-batch size (minutes each through the tunnel)
+        batcher = srv.batcher
+        wimg = np.zeros((512, 512, 3), np.uint8)
+        saved_wait = batcher.max_wait
+        batcher.max_wait = max(saved_wait, 5.0)
+        try:
+            wthreads = [threading.Thread(target=batcher.submit, args=(wimg,))
+                        for _ in range(batcher.batch_size)]
+            for t in wthreads:
+                t.start()
+            for t in wthreads:
+                t.join()
+        finally:
+            batcher.max_wait = saved_wait
+
         def client(latencies):
             conn = HTTPConnection("127.0.0.1", port, timeout=600)
             for _ in range(reqs_per_client):

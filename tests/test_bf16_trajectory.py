@@ -11,14 +11,20 @@ task and asserts the trajectories stay inside an empirically-set band:
   * per-step global update-norm ratio.
 
 What the band catches: a loss term accidentally computed/reduced in bf16
-(the loss chain is specified f32 — ops/losses.py casts logits up), momentum
-or weight-decay accumulating in bf16 (masters are f32), a missing f32 cast
-in the contrastive prep. Each of those moves the trajectory by far more
-than the band (e.g. bf16 momentum drifts the update norm by >2x within a
-few steps at these scales); correct bf16-vs-f64 rounding measured ~1e-2
-loss / <10% update-norm drift over 6 steps on this task (band = 5x the
-measured envelope, tight enough that a policy regression's order-of-
-magnitude signature cannot hide)."""
+(the loss chain is specified f32 — ops/losses.py casts logits up), bf16
+master weights (small updates quantize to zero and the update norm
+collapses), momentum or weight-decay accumulating in bf16, a missing f32
+cast in the contrastive prep.
+
+Band calibration (measured on this exact task/seed, 2026-08-20, CPU):
+correct-policy bf16-vs-f64 divergence was per-step loss relerr
+[0.16%, 0.19%, 1.9%, 2.1%, 0.33%, 1.2%] and update-norm ratio
+[0.97, 1.21, 1.26, 1.60, 1.22, 1.65] — the trajectory is chaotic at
+random init, so divergence compounds after the first step. The FIRST step
+has no compounding and gets the tight band (loss 2%, ratio 0.85-1.18 =
+~12x/6x the measured point); later steps get a loose tripwire
+(loss 10%, ratio 0.4-2.5 = ~1.5x the measured excursion) that still
+catches order-of-magnitude policy signatures."""
 
 import numpy as np
 import pytest
@@ -97,10 +103,13 @@ def test_bf16_trajectory_stays_in_band(rng, x64):
     loss_64, un_64 = _trajectory("float64", batches)
 
     assert np.all(np.isfinite(loss_bf)) and np.all(np.isfinite(un_bf))
-    # band: 5x the measured correct-policy envelope (see module docstring)
     rel_loss = np.abs(loss_bf - loss_64) / np.abs(loss_64)
+    ratio = un_bf / un_64
+    # first step: no chaotic compounding — tight band (see module docstring)
+    assert rel_loss[0] <= 0.02, f"step-1 bf16 loss relerr {rel_loss[0]:.4f}"
+    assert 0.85 < ratio[0] < 1.18, f"step-1 update-norm ratio {ratio[0]:.4f}"
+    # full trajectory: loose tripwire over the measured chaotic excursion
     assert rel_loss.max() <= 0.10, (
         f"bf16 loss trajectory diverged: per-step relerr {rel_loss}")
-    ratio = un_bf / un_64
-    assert np.all((ratio > 0.6) & (ratio < 1.67)), (
+    assert np.all((ratio > 0.4) & (ratio < 2.5)), (
         f"bf16 update-norm trajectory diverged: ratios {ratio}")
