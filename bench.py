@@ -320,9 +320,10 @@ class DiskSegmentation:
 
     def __getitem__(self, i):
         from PIL import Image
+
+        from ucd_tpu.data.datasets import decode_rgb
         ip, lp = self.pairs[i]
-        return (np.asarray(Image.open(ip).convert("RGB")),
-                np.asarray(Image.open(lp)))
+        return decode_rgb(ip), np.asarray(Image.open(lp))
 
     def get_mask(self, i):
         from PIL import Image

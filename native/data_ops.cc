@@ -14,6 +14,10 @@
 #include <cstring>
 #include <algorithm>
 
+#if defined(__SSE4_1__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // lbl[i] = lut[lbl[i]] for a 256-entry LUT; any value >= 256 maps through
@@ -130,6 +134,90 @@ void nearest_indices(int in_size, int out_size, int* idx) {
   }
 }
 
+#if defined(__SSE4_1__)
+// SIMD RGB resize: same fixed-point math as the scalar path below
+// (bit-identical to Pillow), restructured for the vector units. The
+// horizontal pass accumulates each output pixel's 3 channels in one
+// 4-lane i32 register (4th lane = the next pixel's R byte, discarded)
+// and writes an RGBX intermediate; the vertical pass is then a
+// contiguous row-major multiply-accumulate the compiler vectorizes at
+// full width (AVX-512 on the bench host), with the RGBX->RGB squeeze
+// (+ optional horizontal flip) fused into the final clip.
+void resize_rgb_simd(const uint8_t* img, uint8_t* img_out,
+                     int W, int top, int left, int ch, int cw,
+                     int OH, int OW, int flip) {
+  const int hks = ksize_for(cw, OW);
+  int* hbounds = new int[2 * OW];
+  int32_t* hk = new int32_t[static_cast<int64_t>(OW) * hks];
+  precompute_coeffs(cw, OW, 0.0, cw, hbounds, hk, hks);
+
+  uint8_t* tmp = new uint8_t[static_cast<int64_t>(ch) * OW * 4];
+  // crop row staged into a padded buffer so the 4-byte pixel loads can
+  // never read past the caller's image allocation
+  uint8_t* rowbuf = new uint8_t[static_cast<int64_t>(cw) * 3 + 16];
+  const __m128i bias = _mm_set1_epi32(1 << (kPrecisionBits - 1));
+  for (int y = 0; y < ch; ++y) {
+    std::memcpy(rowbuf,
+                img + (static_cast<int64_t>(top + y) * W + left) * 3,
+                static_cast<size_t>(cw) * 3);
+    uint8_t* orow = tmp + static_cast<int64_t>(y) * OW * 4;
+    for (int xx = 0; xx < OW; ++xx) {
+      const int xmin = hbounds[xx * 2], xmax = hbounds[xx * 2 + 1];
+      const int32_t* k = hk + static_cast<int64_t>(xx) * hks;
+      __m128i acc = bias;
+      const uint8_t* p = rowbuf + static_cast<int64_t>(xmin) * 3;
+      for (int x = 0; x < xmax; ++x, p += 3) {
+        int32_t pix4;
+        std::memcpy(&pix4, p, 4);
+        const __m128i pix = _mm_cvtepu8_epi32(_mm_cvtsi32_si128(pix4));
+        acc = _mm_add_epi32(acc, _mm_mullo_epi32(pix, _mm_set1_epi32(k[x])));
+      }
+      // srai + saturating packs == clip8 lane-wise (coeffs are >= 0, so
+      // the accumulator stays in i32 range; packus clamps to [0, 255])
+      acc = _mm_srai_epi32(acc, kPrecisionBits);
+      const __m128i p8 = _mm_packus_epi16(_mm_packs_epi32(acc, acc),
+                                          _mm_setzero_si128());
+      const int32_t out4 = _mm_cvtsi128_si32(p8);
+      std::memcpy(orow + static_cast<int64_t>(xx) * 4, &out4, 4);
+    }
+  }
+  delete[] rowbuf;
+  delete[] hbounds;
+  delete[] hk;
+
+  const int vks = ksize_for(ch, OH);
+  int* vbounds = new int[2 * OH];
+  int32_t* vk = new int32_t[static_cast<int64_t>(OH) * vks];
+  precompute_coeffs(ch, OH, 0.0, ch, vbounds, vk, vks);
+
+  const int n = OW * 4;
+  int32_t* acc = new int32_t[n];
+  for (int yy = 0; yy < OH; ++yy) {
+    const int ymin = vbounds[yy * 2], ymax = vbounds[yy * 2 + 1];
+    const int32_t* k = vk + static_cast<int64_t>(yy) * vks;
+    for (int j = 0; j < n; ++j) acc[j] = 1 << (kPrecisionBits - 1);
+    for (int y = 0; y < ymax; ++y) {
+      const uint8_t* src = tmp + static_cast<int64_t>(ymin + y) * n;
+      const int32_t kv = k[y];
+#pragma GCC ivdep
+      for (int j = 0; j < n; ++j)
+        acc[j] += static_cast<int32_t>(src[j]) * kv;
+    }
+    uint8_t* orow = img_out + static_cast<int64_t>(yy) * OW * 3;
+    for (int xx = 0; xx < OW; ++xx) {
+      const int ox = flip ? (OW - 1 - xx) : xx;
+      orow[ox * 3 + 0] = clip8(acc[xx * 4 + 0]);
+      orow[ox * 3 + 1] = clip8(acc[xx * 4 + 1]);
+      orow[ox * 3 + 2] = clip8(acc[xx * 4 + 2]);
+    }
+  }
+  delete[] acc;
+  delete[] vbounds;
+  delete[] vk;
+  delete[] tmp;
+}
+#endif  // __SSE4_1__
+
 }  // namespace
 
 // img: uint8 HWC with row stride W*C; lbl: uint8 HW with row stride W.
@@ -139,8 +227,16 @@ void pil_resize_pair_u8(const uint8_t* img, const uint8_t* lbl,
                         uint8_t* img_out, uint8_t* lbl_out,
                         int W, int C, int top, int left, int ch, int cw,
                         int OH, int OW, int flip) {
-  // ---- image: horizontal pass over the ch window rows -> tmp, then
-  // vertical pass -> out (Pillow order) -------------------------------
+#if defined(__SSE4_1__)
+  if (C == 3) {
+    resize_rgb_simd(img, img_out, W, top, left, ch, cw, OH, OW, flip);
+    goto label_path;
+  }
+#endif
+  {
+  // ---- image (scalar fallback: C != 3 or no SSE4.1): horizontal pass
+  // over the ch window rows -> tmp, then vertical pass -> out (Pillow
+  // order) --------------------------------------------------------------
   const int hks = ksize_for(cw, OW);
   int* hbounds = new int[2 * OW];
   int32_t* hk = new int32_t[static_cast<int64_t>(OW) * hks];
@@ -186,8 +282,13 @@ void pil_resize_pair_u8(const uint8_t* img, const uint8_t* lbl,
   delete[] vbounds;
   delete[] vk;
   delete[] tmp;
+  }
 
+#if defined(__SSE4_1__)
+label_path:
+#endif
   // ---- label: PIL NEAREST of the crop window -------------------------
+  {
   int* xi = new int[OW];
   int* yi = new int[OH];
   nearest_indices(cw, OW, xi);
@@ -203,6 +304,7 @@ void pil_resize_pair_u8(const uint8_t* img, const uint8_t* lbl,
   }
   delete[] xi;
   delete[] yi;
+  }
 }
 
 // Streaming confusion-matrix accumulation on the host (for CPU-side eval

@@ -35,6 +35,16 @@ try:
 except ImportError:  # pragma: no cover
     HAS_PIL = False
 
+
+def decode_rgb(path: str) -> np.ndarray:
+    """Decode an image file to an RGB uint8 array. convert("RGB") on an
+    already-RGB image (every JPEG) is a full-frame copy in Pillow — skip
+    it; the input pipeline shares one host core with dispatch."""
+    im = Image.open(path)
+    if im.mode != "RGB":
+        im = im.convert("RGB")
+    return np.asarray(im)
+
 VOC_CLASSES = [
     "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
     "car", "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
@@ -69,7 +79,7 @@ class VOCSegmentation:
                        for a, b in file_names]
 
     def __getitem__(self, index):
-        img = np.asarray(Image.open(self.images[index][0]).convert("RGB"))
+        img = decode_rgb(self.images[index][0])
         lbl = np.asarray(Image.open(self.images[index][1]))
         return img, lbl
 
@@ -94,7 +104,7 @@ class AdeSegmentation:
                        for x in fnames]
 
     def __getitem__(self, index):
-        img = np.asarray(Image.open(self.images[index][0]).convert("RGB"))
+        img = decode_rgb(self.images[index][0])
         lbl = np.asarray(Image.open(self.images[index][1]))
         return img, lbl
 
@@ -131,7 +141,7 @@ class CitySegmentation:
         return CITY_ID_TO_20[np.clip(m, 0, 34)]
 
     def __getitem__(self, index):
-        img = np.asarray(Image.open(self.images[index]).convert("RGB"))
+        img = decode_rgb(self.images[index])
         lbl = self._collapse(np.asarray(Image.open(self.masks[index])))
         return img, lbl.astype(np.uint8)
 
@@ -161,7 +171,7 @@ class CityscapesSegmentationDomain:
 
     def __getitem__(self, index):
         path, mask, _ = self.items[index]
-        img = np.asarray(Image.open(path).convert("RGB"))
+        img = decode_rgb(path)
         m = np.asarray(Image.open(mask), np.int64)
         lbl = CITY_ID_TO_TRAINID[np.clip(m, 0, 34)]
         return img, lbl.astype(np.uint8)

@@ -125,10 +125,10 @@ class DataLoader:
             images = np.stack([p[0] for p in pairs])
             if images.dtype != np.uint8:
                 images = images.astype(np.float32)
-            yield {
-                "image": images,
-                "label": np.stack([p[1] for p in pairs]).astype(np.int32),
-            }
+            labels = np.stack([p[1] for p in pairs])
+            if labels.dtype != np.int32:   # astype would copy the batch
+                labels = labels.astype(np.int32)
+            yield {"image": images, "label": labels}
 
 
 def split_train_val(dataset, val_frac: float = 0.2, seed: int = 42):

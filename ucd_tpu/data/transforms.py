@@ -33,22 +33,26 @@ def _to_pil(img: np.ndarray, mode=None):
 
 
 def _resize_pair(img: np.ndarray, lbl: np.ndarray, size: tuple[int, int],
-                 crop=None):
+                 crop=None, flip: bool = False):
     """size = (h, w); bilinear for image, nearest for label; optional
-    (top, left, ch, cw) crop window fused into the resize. Routes through the
-    native PIL-exact kernel when built (native/data_ops.cc
-    pil_resize_pair_u8 — bit-identical to the PIL path, tested)."""
+    (top, left, ch, cw) crop window and output horizontal flip fused into
+    the resize. Routes through the native PIL-exact kernel when built
+    (native/data_ops.cc pil_resize_pair_u8 — bit-identical to the PIL
+    path, tested)."""
     h, w = size
     if img.dtype == np.uint8 and lbl.dtype == np.uint8 and img.ndim == 3:
         from .native import pil_resize_pair
-        return pil_resize_pair(img, lbl, h, w, crop=crop)
+        return pil_resize_pair(img, lbl, h, w, crop=crop, flip=flip)
     if crop is not None:
         top, left, ch, cw = crop
         img = img[top:top + ch, left:left + cw]
         lbl = lbl[top:top + ch, left:left + cw]
     im = _to_pil(img).resize((w, h), Image.BILINEAR)
     lb = _to_pil(lbl).resize((w, h), Image.NEAREST)
-    return np.asarray(im), np.asarray(lb)
+    io, lo = np.asarray(im), np.asarray(lb)
+    if flip:
+        io, lo = io[:, ::-1].copy(), lo[:, ::-1].copy()
+    return io, lo
 
 
 class Compose:
@@ -214,10 +218,19 @@ class RandomResizedCrop:
     dataset/transform.py RandomResizedCrop; run.py:50 uses
     scale=(0.5, 2.0), ratio defaults (3/4, 4/3))."""
 
-    def __init__(self, size: int, scale=(0.5, 2.0), ratio=(3 / 4, 4 / 3)):
+    def __init__(self, size: int, scale=(0.5, 2.0), ratio=(3 / 4, 4 / 3),
+                 flip_p: float = 0.0):
         self.size = size
         self.scale = scale
         self.ratio = ratio
+        # flip_p > 0 fuses RandomHorizontalFlip into the crop+resize
+        # kernel (one pass, no output copy). The rng stream is identical
+        # to the unfused Compose([RRC, RandomHorizontalFlip]) pipeline:
+        # crop draws first, then one rng.random() for the flip.
+        self.flip_p = flip_p
+
+    def _flip(self, rng) -> bool:
+        return self.flip_p > 0 and rng.random() < self.flip_p
 
     def __call__(self, img, lbl, rng):
         h, w = img.shape[:2]
@@ -233,7 +246,8 @@ class RandomResizedCrop:
                 left = int(rng.integers(0, w - cw + 1))
                 # crop fused into the (native) resize: no intermediate copy
                 return _resize_pair(img, lbl, (self.size, self.size),
-                                    crop=(top, left, ch, cw))
+                                    crop=(top, left, ch, cw),
+                                    flip=self._flip(rng))
         # fallback: center crop of the shorter side
         in_ratio = w / h
         if in_ratio < self.ratio[0]:
@@ -243,9 +257,9 @@ class RandomResizedCrop:
         else:
             cw, ch = w, h
         top, left = (h - ch) // 2, (w - cw) // 2
-        return _resize_pair(img[top:top + ch, left:left + cw],
-                            lbl[top:top + ch, left:left + cw],
-                            (self.size, self.size))
+        return _resize_pair(img, lbl, (self.size, self.size),
+                            crop=(top, left, ch, cw),
+                            flip=self._flip(rng))
 
 
 class ToTensorNormalize:
@@ -277,10 +291,12 @@ class ToTensorNormalize:
 
 
 def train_transform(crop_size: int, device_normalize: bool = False) -> Compose:
-    """reference run.py:49-55."""
+    """reference run.py:49-55. The flip rides inside the fused
+    crop+resize kernel (flip_p) — same rng stream and pixel output as the
+    unfused RandomResizedCrop -> RandomHorizontalFlip pair, one less
+    full-image copy per sample."""
     return Compose([
-        RandomResizedCrop(crop_size, (0.5, 2.0)),
-        RandomHorizontalFlip(),
+        RandomResizedCrop(crop_size, (0.5, 2.0), flip_p=0.5),
         ToTensorNormalize(to_float=not device_normalize),
     ])
 
