@@ -12,23 +12,59 @@ breakdowns, including the "X" placeholder for absent classes."""
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
 def confusion_matrix_update(hist: jnp.ndarray, labels: jnp.ndarray,
                             preds: jnp.ndarray, n_classes: int) -> jnp.ndarray:
-    """hist += bincount(n*true + pred) over valid pixels
-    (reference metrics/stream_metrics.py:65-71). jit-safe."""
-    valid = (labels >= 0) & (labels < n_classes)
-    idx = jnp.where(valid, labels * n_classes + preds, 0)
-    counts = jnp.bincount(idx.reshape(-1),
-                          weights=valid.reshape(-1).astype(jnp.float32),
-                          length=n_classes * n_classes)
-    return hist + counts.reshape(n_classes, n_classes)
+    """hist[i, j] += #pixels with (true == i, pred == j), valid pixels only
+    (reference metrics/stream_metrics.py:65-71). jit-safe.
+
+    TPU formulation: NOT a bincount — jnp.bincount lowers to a scatter-add
+    over every pixel, which serializes on TPU (measured 36.6 ms/step at
+    batch 16@512², 52%% of eval device time, round-5 trace). Instead the
+    update is a chunked one-hot contraction on the MXU:
+    hist += onehot(labels·valid)ᵀ @ onehot(preds), scanned over pixel
+    chunks so the transient one-hots stay bounded (~60 MB at ADE's 151
+    classes). bf16 one-hots with f32 accumulation are exact: every product
+    is 0/1 and per-chunk counts stay far below 2²⁴. The running hist is
+    int32 (exact to 2³¹ — an f32 hist silently drops +1s past 2²⁴, which a
+    full-size VOC val sweep exceeds on the background diagonal)."""
+    l = labels.reshape(-1).astype(jnp.int32)
+    p = preds.reshape(-1).astype(jnp.int32)
+    valid = (l >= 0) & (l < n_classes)
+    n = l.shape[0]
+    chunk = min(262144, -(-n // 8) * 8)
+    k = -(-n // chunk)
+    pad = k * chunk - n
+    if pad:
+        l = jnp.pad(l, (0, pad))
+        p = jnp.pad(p, (0, pad))
+        valid = jnp.pad(valid, (0, pad))  # padded pixels are invalid
+    ids = jnp.arange(n_classes, dtype=jnp.int32)
+
+    def chunk_counts(li, pi, vi):
+        a = ((li[:, None] == ids) & vi[:, None]).astype(jnp.bfloat16)
+        b = (pi[:, None] == ids).astype(jnp.bfloat16)
+        c = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return c.astype(jnp.int32)
+
+    if k == 1:
+        return hist + chunk_counts(l, p, valid)
+
+    def body(h, xs):
+        return h + chunk_counts(*xs), None
+
+    shaped = (l.reshape(k, chunk), p.reshape(k, chunk),
+              valid.reshape(k, chunk))
+    out, _ = jax.lax.scan(body, hist.astype(jnp.int32), shaped)
+    return out
 
 
 def empty_confusion(n_classes: int) -> jnp.ndarray:
-    return jnp.zeros((n_classes, n_classes), jnp.float32)
+    return jnp.zeros((n_classes, n_classes), jnp.int32)
 
 
 def results_from_confusion(hist: np.ndarray, total_samples: int = 0) -> dict:
