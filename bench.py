@@ -841,6 +841,14 @@ def main():
         batch1_rate = n1 / (time.perf_counter() - t0)
         predict_speedup = predict_img_per_s / max(batch1_rate, 1e-9)
 
+        # transport roofline for the absolute number: every predicted image
+        # moves 512²x3 uint8 up + 512² uint8 ids down through the tunnel
+        # (~1.05 MB serialized) — the ceiling the CLI can't exceed HERE
+        # regardless of host threading or device speed. A production host
+        # (PCIe, GB/s) lifts this roofline by ~2 orders of magnitude.
+        img_mb = (512 * 512 * 3 + 512 * 512) / 1e6
+        predict_tunnel_bound = h2d_mb_s / img_mb
+
     # SERVE-path benchmark (VERDICT r4 next #3b): concurrent HTTP clients
     # against the real `ucd_tpu serve` stack (stdlib HTTP handler threads ->
     # MicroBatcher coalescing -> batched device calls -> PNG response).
@@ -1031,6 +1039,8 @@ def main():
         out["predict_cli_images_per_s"] = round(predict_img_per_s, 2)
         out["predict_cli_speedup_vs_batch1"] = round(predict_speedup, 2)
         out["h2d_tunnel_mb_per_s"] = round(h2d_mb_s, 1)
+        out["predict_tunnel_bound_images_per_s"] = round(
+            predict_tunnel_bound, 2)
     if ade_img_per_s is not None:
         out["ade_train_images_per_s"] = round(ade_img_per_s, 2)
     if host_rates is not None:

@@ -126,7 +126,10 @@ class DataLoader:
             if images.dtype != np.uint8:
                 images = images.astype(np.float32)
             labels = np.stack([p[1] for p in pairs])
-            if labels.dtype != np.int32:   # astype would copy the batch
+            # uint8 labels ship as-is (the jitted steps widen on device —
+            # 4x less H2D); anything else normalizes to int32 without a
+            # redundant same-dtype copy
+            if labels.dtype not in (np.uint8, np.int32):
                 labels = labels.astype(np.int32)
             yield {"image": images, "label": labels}
 

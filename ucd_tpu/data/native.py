@@ -66,10 +66,18 @@ def _ptr(arr, ctype):
 
 
 def remap_labels(lbl: np.ndarray, lut: np.ndarray) -> np.ndarray:
-    """LUT remap of a uint8/int label array -> int32."""
+    """LUT remap of a uint8/int label array.
+
+    When both the input and every LUT value fit uint8 (true for every
+    supported dataset: <=256 class ids incl. the 255 ignore), the result
+    STAYS uint8 — labels then ship to the device at 1/4 the int32 bytes
+    and the jitted steps widen on-device. Otherwise returns int32."""
     lut = np.ascontiguousarray(lut, np.int32)
     assert lut.size == 256
     lib = _load()
+    if lbl.dtype == np.uint8 and lut.min() >= 0 and lut.max() <= 255:
+        # u8 -> u8 table gather: numpy's take is already memory-bound here
+        return lut.astype(np.uint8)[lbl]
     if lib and lbl.dtype == np.uint8:
         src = np.ascontiguousarray(lbl)
         out = np.empty(lbl.shape, np.int32)

@@ -278,16 +278,20 @@ class ToTensorNormalize:
         self.to_float = to_float
 
     def __call__(self, img, lbl, rng=None):
+        # uint8 labels pass through untouched (4x lighter host->device
+        # shipping; the jitted steps widen to int32 on device) — anything
+        # wider is normalized to int32 here
+        lbl = lbl if lbl.dtype == np.uint8 else lbl.astype(np.int32)
         if not self.to_float:
             if img.dtype != np.uint8:
                 img = np.clip(img, 0, 255).astype(np.uint8)
-            return img, lbl.astype(np.int32)
+            return img, lbl
         if img.dtype == np.uint8:
             from .native import normalize_image
             img = normalize_image(img, self.mean, self.std)
         else:
             img = (img.astype(np.float32) / 255.0 - self.mean) / self.std
-        return img, lbl.astype(np.int32)
+        return img, lbl
 
 
 def train_transform(crop_size: int, device_normalize: bool = False) -> Compose:

@@ -28,7 +28,12 @@ class Predictor:
                  fused: bool = True):
         assert fusion_mode in ("mean", "voting", "max")
         self.model = model
-        self.variables = variables
+        # pin the weights on device ONCE: an npz-loaded tree (load_inference)
+        # is host numpy, and passing numpy into a jitted call re-uploads the
+        # ENTIRE model every dispatch — measured as multi-second serve
+        # batches on the tunneled harness (~100 MB of params per call) and
+        # a real PCIe tax on any host. No-op for already-resident arrays.
+        self.variables = jax.device_put(variables)
         self.fusion_mode = fusion_mode
         self.flip = flip
         # normalize a bare float/int to a 1-view pyramid
@@ -82,20 +87,27 @@ class Predictor:
         (ops/fused_eval.py) applies and the full-res logits are never
         materialized; when the kernel doesn't cover the shape, the
         already-computed full-res logits are argmaxed directly (one model
-        apply either way). TTA configurations take the full fusion."""
+        apply either way). TTA configurations take the full fusion.
+
+        Class-id maps leave the device as uint8 (every supported dataset
+        has <= 256 classes): 4x less device->host traffic than int32 —
+        on tunneled/serving hosts the prediction fetch is a first-order
+        cost (round-5 bench: the predict CLI is transfer-bound)."""
         if self.scales == (1.0,) and not self.flip:
             outputs, feats = self.model.apply(variables, images, train=False)
             if self.fused and FE.supported(feats["sem"].shape,
                                            images.shape[1:3]):
-                return FE.fused_argmax(feats["sem"], images.shape[1:3])
-            return jnp.argmax(outputs, axis=-1).astype(jnp.int32)
-        preds, _ = self._forward(variables, images)
-        return preds
+                preds = FE.fused_argmax(feats["sem"], images.shape[1:3])
+            else:
+                preds = jnp.argmax(outputs, axis=-1)
+        else:
+            preds, _ = self._forward(variables, images)
+        return preds.astype(jnp.uint8)
 
     def predict_labels(self, images):
-        """(B,H,W) int32 predictions only — the serving fast path (the
-        full-res probability tensor is neither returned nor materialized
-        for single-view configurations)."""
+        """(B,H,W) uint8 class-id predictions only — the serving fast path
+        (the full-res probability tensor is neither returned nor
+        materialized for single-view configurations)."""
         return self._fwd_labels(self.variables, images)
 
     def __call__(self, images):
