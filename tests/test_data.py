@@ -151,3 +151,31 @@ def test_extra_transforms():
 
     li, ll = Lambda(lambda i, l: (i, l + 1))(img, lbl)
     assert np.array_equal(ll, lbl + 1)
+
+
+def test_labels_ship_uint8_end_to_end():
+    """The production item path (dataset -> transform -> LUT remap ->
+    collate) keeps labels uint8 all the way to the batch dict (round 5:
+    4x less H2D label traffic; the jitted steps widen on device), and the
+    remapped VALUES are identical to the int32 LUT path."""
+    from ucd_tpu.data import DataLoader
+    from ucd_tpu.data.datasets import SyntheticSegmentation
+    from ucd_tpu.data.incremental import Subset, voc_remap_lut
+    from ucd_tpu.data.native import remap_labels
+    from ucd_tpu.data.transforms import train_transform
+
+    base = SyntheticSegmentation(n=8, size=48, n_classes=21, seed=3)
+    lut = voc_remap_lut(list(range(1, 16)), list(range(16, 21)),
+                        masking=True)
+    ds = Subset(base, list(range(8)), train_transform(32,
+                device_normalize=True), lut)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, workers=1, prefetch=0)
+    batch = next(iter(dl.epoch(0)))
+    assert batch["label"].dtype == np.uint8
+    assert batch["image"].dtype == np.uint8
+    # uint8 LUT fast path == int32 LUT path, value for value
+    raw = base.get_mask(0)
+    u8 = remap_labels(raw.astype(np.uint8), lut)
+    i32 = remap_labels(raw.astype(np.int32), lut)
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8.astype(np.int32), i32)

@@ -53,3 +53,28 @@ def test_multiscale(rng, model_and_vars):
     x = jnp.array(rng.randn(1, SIZE, SIZE, 3), jnp.float32)
     preds, fused = pred(x)
     assert preds.shape == (1, SIZE, SIZE)
+
+
+def test_weights_device_resident_and_uint8_ids(model_and_vars):
+    """Two serving-path regressions from the round-5 deployment work:
+
+    (a) Predictor must pin its variable tree on device at construction —
+    an npz-loaded HOST numpy tree would otherwise re-upload the entire
+    model on EVERY jitted call (measured 12x serve throughput loss on a
+    tunneled host: 2.5 -> 29.7 img/s after the fix).
+    (b) predict_labels ships class ids as uint8 (4x less D2H than int32),
+    with values identical to the int32 argmax.
+    """
+    model, variables = model_and_vars
+    host_tree = jax.tree.map(np.asarray, variables)  # force host numpy
+    pred = Predictor(model, host_tree, fused=False)
+    leaves = jax.tree.leaves(pred.variables)
+    assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+
+    img = np.random.RandomState(7).randint(
+        0, 256, (2, SIZE, SIZE, 3), np.uint8)
+    ids = np.asarray(pred.predict_labels(jnp.asarray(img)))
+    assert ids.dtype == np.uint8
+    outputs, _ = model.apply(variables, jnp.asarray(img), train=False)
+    np.testing.assert_array_equal(
+        ids, np.asarray(jnp.argmax(outputs, axis=-1)).astype(np.uint8))
