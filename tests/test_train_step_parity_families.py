@@ -114,7 +114,7 @@ def t_normalize(mat):
 # ---- the generalized composed oracle step ----------------------------------
 
 def family_oracle_step(cfg, params_start, batch_stats, old_vars, batch, it,
-                       momentum_buf, term_fn, ewc=None):
+                       momentum_buf, term_fn, ewc=None, reg_hook=None):
     """ONE reference train step in torch float64 from the given start params.
 
     `term_fn(cfg, logits, feats3, logits_old, feats3_old, labels)` returns
@@ -125,6 +125,10 @@ def family_oracle_step(cfg, params_start, batch_stats, old_vars, batch, it,
     from .grad (reference regularizer.update(), train.py:141-143), then the
     penalty runs as a REAL second backward (train.py:144-147) so the
     combined .grad reaches SGD exactly the way the reference composes it.
+
+    `reg_hook(leaves) -> float`, when given (PI/RW), runs the same
+    update-then-penalty-backward composition with the family's own
+    accumulator semantics, mutating its own closed-over state.
 
     Returns (terms, post-step leaves, new momentum buffers)."""
     structure, _ = STRUCTURES[cfg.backbone]
@@ -170,6 +174,8 @@ def family_oracle_step(cfg, params_start, batch_stats, old_vars, batch, it,
             l_reg = cfg.reg_importance * pen
             l_reg.backward()  # the reference's second backward
             l_reg = float(l_reg)
+    elif reg_hook is not None:
+        l_reg = reg_hook(leaves)
 
     lr_t = cfg.lr * (1.0 - it / TOTAL_ITERS) ** cfg.lr_power
     new_buf = {}
@@ -217,15 +223,26 @@ def _build(method, rng, **cfg_extra):
     model = make_model(cfg)
 
     saved_reg = None
-    if cfg.regularizer == "ewc":
-        # a synthetic saved fisher over the OLD param structure stands in
-        # for the step-0 export: strictly positive, non-trivially scaled so
-        # the min-max normalization (utils/regularizer.py:37-38) matters
+    if cfg.regularizer is not None:
+        # a synthetic saved accumulator over the OLD param structure stands
+        # in for the step-0 export: strictly positive, non-trivially scaled
+        # so the min-max normalization (utils/regularizer.py:37-38) matters
         fr = np.random.RandomState(11)
-        saved_reg = {"fisher": jax.tree_util.tree_map(
-            lambda p: jnp.asarray(
-                np.abs(fr.randn(*np.shape(p))) * 0.5 + 0.05, jnp.float64),
-            prev["params"])}
+
+        def synth(scale, base):
+            return jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    np.abs(fr.randn(*np.shape(p))) * scale + base,
+                    jnp.float64),
+                prev["params"])
+
+        if cfg.regularizer == "ewc":
+            saved_reg = {"fisher": synth(0.5, 0.05)}
+        elif cfg.regularizer == "pi":
+            saved_reg = {"score": synth(0.5, 0.05)}
+        elif cfg.regularizer == "rw":
+            saved_reg = {"fisher": synth(0.5, 0.05),
+                         "score": synth(0.3, 0.02)}
 
     state, old_vars = build_train_state(cfg, model, jax.random.key(1),
                                         total_iters=TOTAL_ITERS,
@@ -250,9 +267,17 @@ def _build(method, rng, **cfg_extra):
 
 
 def _run_and_compare(method, rng, term_fn, metric_keys, cfg_extra=None,
-                     with_ewc=False):
+                     with_ewc=False, reg_hook_factory=None):
+    """`reg_hook_factory(cfg, params_before, old_vars, saved_reg)` returns
+    `(hook, reg_obj)`: the per-step oracle hook and its mutable state (for
+    post-run export-carry assertions)."""
     (cfg, state, old_vars, train_step, batches, params_before,
      batch_stats_np, saved_reg) = _build(method, rng, **(cfg_extra or {}))
+
+    reg_hook = reg_obj = None
+    if reg_hook_factory is not None:
+        reg_hook, reg_obj = reg_hook_factory(cfg, params_before, old_vars,
+                                             saved_reg)
 
     jax_terms, jax_params = [], []
     for batch in batches:
@@ -283,7 +308,7 @@ def _run_and_compare(method, rng, term_fn, metric_keys, cfg_extra=None,
     for step_i, batch in enumerate(batches):
         t6, after64, buf = family_oracle_step(
             cfg, starts[step_i], batch_stats_np, old_vars, batch, step_i,
-            buf, term_fn, ewc=ewc)
+            buf, term_fn, ewc=ewc, reg_hook=reg_hook)
         jt = jax_terms[step_i]
         for key in metric_keys:
             np.testing.assert_allclose(
@@ -316,7 +341,7 @@ def _run_and_compare(method, rng, term_fn, metric_keys, cfg_extra=None,
             f"{method} step {step_i} global update error {g_err:.3e} vs "
             f"ref {g_ref:.3e}")
 
-    return cfg, state, ewc
+    return cfg, state, (ewc if ewc is not None else reg_obj)
 
 
 # ---- the four family tests --------------------------------------------------

@@ -53,6 +53,9 @@ class RegState:
     penalty_w: Any = None     # precomputed weights for the quadratic penalty
     old_params: Any = None    # θ_old anchor for the penalty
     saved_score: Any = None   # previous-step score (pi/rw averaging)
+    saved_mask: Any = None    # per-leaf 0/1 scalars: leaf present in the
+                              # saved score (rw export averages ONLY those,
+                              # reference utils/regularizer.py:285-286)
 
 
 def _presence(sub_tree, full_tree):
@@ -145,12 +148,18 @@ def init_reg_state(kind: Optional[str], params, old_params=None,
             f = finalize_pw(saved["fisher"], normalize)
             s = finalize_pw(score_prev, normalize)
             pw = tmap(lambda a, b: a + b, f, s)
+        saved_mask = None
+        if score_prev is not None:
+            saved_mask = tmap(lambda p, q: jnp.asarray(1.0 if q else 0.0,
+                                                       jnp.float32),
+                              params, _presence(score_prev, params))
         return RegState(kind="rw", alpha=alpha, iterations=iterations,
                         penalize=pw is not None,
                         fisher=fisher if fisher is not None else ones,
                         score=zeros, prev_params=params,
                         penalty_w=pw, old_params=anchor,
-                        saved_score=grow(score_prev, zeros))
+                        saved_score=grow(score_prev, zeros),
+                        saved_mask=saved_mask)
 
     raise NotImplementedError(kind)
 
@@ -285,9 +294,15 @@ def export_state(state: Optional[RegState], params) -> Optional[dict]:
             score = tmap(lambda a, b: a + b, score, state.saved_score)
         return {"score": score, "delta": state.delta}
     if state.kind == "rw":
-        # score clamped >= 0, averaged 0.5*(new+old) (utils/regularizer.py:281-287)
+        # score clamped >= 0; leaves PRESENT in the previous step's score are
+        # averaged 0.5*(new+old), new-classifier leaves carry their raw clamp
+        # (utils/regularizer.py:281-287 averages only `n in self.score_old`)
         score = tmap(lambda s: jnp.maximum(s, 0.0), state.score)
         if state.saved_score is not None:
-            score = tmap(lambda a, b: 0.5 * (a + b), score, state.saved_score)
+            mask = state.saved_mask
+            if mask is None:  # snapshot restored onto a maskless init:
+                mask = tmap(lambda s: jnp.ones((), jnp.float32), score)
+            score = tmap(lambda a, b, m: jnp.where(m > 0, 0.5 * (a + b), a),
+                         score, state.saved_score, mask)
         return {"score": score, "fisher": state.fisher}
     raise NotImplementedError(state.kind)
