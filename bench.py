@@ -939,13 +939,34 @@ def main():
             return lats, time.perf_counter() - t0
 
         wave()                                   # XLA compile + warmup wave
+        # same windowed-median treatment as the headline: one slow tunnel
+        # moment must not become the permanent serve record
+        n_waves = int(os.environ.get("BENCH_SERVE_WAVES", "3"))
         stats0 = srv.batcher.stats()
-        lats, dt = wave()
+        serve_wave_rates, lats = [], []
+        for _ in range(n_waves):
+            wl, dt = wave()
+            serve_wave_rates.append(round(len(wl) / dt, 2))
+            lats.extend(wl)
         stats1 = srv.batcher.stats()
+
+        # BENCH_SERVE_AB=1: re-measure with synchronous dispatch
+        # (pipeline_depth=0) in the same process — same compiled programs,
+        # so the delta isolates the chunk-pipelining win
+        serve_sync_img_per_s = None
+        if os.environ.get("BENCH_SERVE_AB", "0") == "1":
+            srv.batcher.pipeline_depth = 0
+            sync_rates = []
+            for _ in range(n_waves):
+                wl, dt = wave()
+                sync_rates.append(round(len(wl) / dt, 2))
+            serve_sync_img_per_s = sorted(sync_rates)[len(sync_rates) // 2]
+            print(f"[serve A/B] pipelined={serve_wave_rates} "
+                  f"sync={sync_rates}", file=sys.stderr)
         shutdown_server(srv)
 
         lats.sort()
-        serve_img_per_s = len(lats) / dt
+        serve_img_per_s = sorted(serve_wave_rates)[len(serve_wave_rates) // 2]
         serve_p50 = lats[len(lats) // 2] * 1e3
         serve_p99 = lats[min(int(len(lats) * 0.99), len(lats) - 1)] * 1e3
         d_batches = stats1["batches"] - stats0["batches"]
@@ -1053,6 +1074,9 @@ def main():
         out["e2e_train_images_per_s"] = round(e2e_img_per_s, 2)
     if serve_img_per_s is not None:
         out["serve_images_per_s"] = round(serve_img_per_s, 2)
+        out["serve_wave_rates"] = serve_wave_rates
+        if serve_sync_img_per_s is not None:
+            out["serve_sync_dispatch_images_per_s"] = serve_sync_img_per_s
         out["serve_p50_ms"] = round(serve_p50, 1)
         out["serve_p99_ms"] = round(serve_p99, 1)
         out["serve_avg_batch"] = round(serve_avg_batch, 2)

@@ -10,6 +10,7 @@ import io
 import json
 import os
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -224,6 +225,100 @@ def test_microbatcher_pads_partial_to_compiled_batch():
         assert stats["images"] == 5
         assert stats["padded_rows"] == 3
         assert p.calls[-1] == (4, 32, 32, 3)
+    finally:
+        mb.close()
+
+
+class _LazyArr:
+    """Mimics jax async dispatch: the value exists immediately, the fetch
+    (np.asarray -> __array__) happens later and may raise (async device
+    errors materialize at fetch time)."""
+
+    def __init__(self, arr, log, idx, poison=False):
+        self.arr, self.log, self.idx, self.poison = arr, log, idx, poison
+
+    def __array__(self, dtype=None, copy=None):
+        time.sleep(0.02)  # queued peers pile up while a fetch is in flight
+        self.log.append(("fetch", self.idx))
+        if self.poison:
+            raise RuntimeError("async device error")
+        return self.arr
+
+
+class _LazyPredictor:
+    """Dispatch returns a lazy handle; the event log records dispatch vs
+    fetch ordering so tests can assert real overlap."""
+
+    def __init__(self):
+        self.log = []
+        self.n = 0
+
+    def predict_labels(self, arr):
+        idx = self.n
+        self.n += 1
+        self.log.append(("dispatch", idx))
+        return _LazyArr(np.zeros(arr.shape[:3], np.int32), self.log, idx,
+                        poison=bool(arr.max() == 255))
+
+
+def test_microbatcher_pipelines_chunks_under_load():
+    """With traffic queued, chunk N+1 is DISPATCHED before chunk N's result
+    is fetched (jax-async overlap), and every waiter still gets its
+    result."""
+    p = _LazyPredictor()
+    mb = MicroBatcher(p, bucket=32, batch_size=1, max_wait_ms=0.0,
+                      pipeline_depth=2)
+    try:
+        img = np.zeros((32, 32, 3), np.uint8)
+        results = []
+        threads = [threading.Thread(
+            target=lambda: results.append(mb.submit(img)))
+            for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30.0)
+        assert len(results) == 6
+        assert all(r.shape == (32, 32) for r in results)
+        pos = {e: i for i, e in enumerate(p.log)}
+        overlapped = any(
+            ("dispatch", i + 1) in pos and ("fetch", i) in pos
+            and pos[("dispatch", i + 1)] < pos[("fetch", i)]
+            for i in range(5))
+        assert overlapped, p.log
+    finally:
+        mb.close()
+
+
+def test_microbatcher_async_error_routes_to_its_chunk():
+    """A fetch-time (async) device error reaches exactly the waiters of the
+    failed chunk; other in-flight chunks still succeed."""
+    p = _LazyPredictor()
+    mb = MicroBatcher(p, bucket=32, batch_size=1, max_wait_ms=0.0,
+                      pipeline_depth=2)
+    try:
+        good = np.zeros((32, 32, 3), np.uint8)
+        bad = np.full((32, 32, 3), 255, np.uint8)
+        outcomes = {}
+
+        def worker(name, img):
+            try:
+                outcomes[name] = ("ok", mb.submit(img))
+            except RuntimeError as e:
+                outcomes[name] = ("err", str(e))
+
+        threads = [threading.Thread(target=worker, args=(f"g{i}", good))
+                   for i in range(3)]
+        threads.append(threading.Thread(target=worker, args=("bad", bad)))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30.0)
+        assert outcomes["bad"][0] == "err"
+        assert "async device error" in outcomes["bad"][1]
+        for i in range(3):
+            kind, val = outcomes[f"g{i}"]
+            assert kind == "ok" and val.shape == (32, 32)
     finally:
         mb.close()
 

@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="max images per device call")
     sv.add_argument("--max_wait_ms", type=float, default=5.0,
                     help="how long a request waits for batch peers")
+    sv.add_argument("--pipeline_depth", type=int, default=2,
+                    help="batched device calls kept in flight while more "
+                         "traffic is queued (0 = synchronous dispatch)")
     sv.add_argument("--warmup_size", type=int, default=0,
                     help=">0: pre-compile the full-batch program for this "
                          "square size before accepting traffic")
@@ -382,6 +385,7 @@ def main(argv=None):
         serve(args.model, host=args.host, port=args.port,
               batch_size=args.batch_size, bucket=args.bucket,
               max_wait_ms=args.max_wait_ms, warmup_size=args.warmup_size,
+              pipeline_depth=args.pipeline_depth,
               fusion_mode=args.fusion_mode,
               scales=tuple(float(s) for s in args.test_scales.split(",")),
               flip=args.test_flip, fused=not args.no_fused,

@@ -162,29 +162,50 @@ def _bucket_hw(h: int, w: int, multiple: int) -> Tuple[int, int]:
     return -(-h // multiple) * multiple, -(-w // multiple) * multiple
 
 
-def run_padded_chunk(predictor, key: Tuple[int, int], imgs: Sequence[tuple],
-                     batch_size: int, full_seen: set) -> Tuple[list, int]:
-    """One batched device call over `imgs` = [(img_u8 HWC, h, w), ...], all
-    padded into the (hb, wb) spatial bucket `key`.
+def dispatch_padded_chunk(predictor, key: Tuple[int, int],
+                          imgs: Sequence[tuple], batch_size: int,
+                          full_seen: set):
+    """Enqueue one batched device call over `imgs` = [(img_u8 HWC, h, w),
+    ...], all padded into the (hb, wb) spatial bucket `key`, WITHOUT
+    fetching the result — jax's async dispatch returns the device array
+    immediately, so a caller (the serving MicroBatcher) can overlap this
+    chunk's H2D+compute+D2H with collecting and dispatching the next one.
 
     A partial chunk pads the BATCH dim back up to `batch_size` when a full
     chunk already compiled for this bucket (program reuse beats a fresh
     multi-minute XLA compile); a bucket that has never seen a full chunk
     runs at its natural size. Full chunks are recorded in `full_seen`.
-    Shared by `predict_paths` and the serving MicroBatcher so the subtle
-    pad-back logic exists exactly once. Returns (per-image (h, w) uint8
-    class maps cropped to native size, padded row count)."""
+    Returns (device_preds, padded row count)."""
     hb, wb = key
     n = len(imgs)
     run_n = batch_size if (n == batch_size or key in full_seen) else n
     arr = np.zeros((run_n, hb, wb, 3), np.uint8)
     for i, (img, h, w) in enumerate(imgs):
         arr[i, :h, :w] = img
-    preds = np.asarray(predictor.predict_labels(arr))
+    dev_preds = predictor.predict_labels(arr)
     if n == batch_size:
         full_seen.add(key)
-    return ([preds[i, :h, :w].astype(np.uint8)
-             for i, (_, h, w) in enumerate(imgs)], run_n - n)
+    return dev_preds, run_n - n
+
+
+def complete_padded_chunk(dev_preds, imgs: Sequence[tuple]) -> list:
+    """Fetch a dispatched chunk and crop each prediction back to its native
+    size. Device errors from the async call materialize here."""
+    preds = np.asarray(dev_preds)
+    return [preds[i, :h, :w].astype(np.uint8)
+            for i, (_, h, w) in enumerate(imgs)]
+
+
+def run_padded_chunk(predictor, key: Tuple[int, int], imgs: Sequence[tuple],
+                     batch_size: int, full_seen: set) -> Tuple[list, int]:
+    """dispatch + complete in one synchronous call (the predict_paths path;
+    the MicroBatcher uses the split pair to pipeline chunks). Shared by
+    `predict_paths` and the serving MicroBatcher so the subtle pad-back
+    logic exists exactly once. Returns (per-image (h, w) uint8 class maps
+    cropped to native size, padded row count)."""
+    dev_preds, padded = dispatch_padded_chunk(predictor, key, imgs,
+                                              batch_size, full_seen)
+    return complete_padded_chunk(dev_preds, imgs), padded
 
 
 def predict_paths(model, variables, image_paths: Sequence[str],

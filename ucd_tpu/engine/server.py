@@ -25,6 +25,7 @@ palette) and `json` (class-id lists + per-class pixel histogram).
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import queue
@@ -35,7 +36,7 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from .export import _bucket_hw, run_padded_chunk
+from .export import _bucket_hw, complete_padded_chunk, dispatch_padded_chunk
 
 # Largest request body do_POST will read into memory (64 MB covers any
 # realistic PNG/JPEG; a 4096x4096 RGB PNG is ~<50 MB uncompressed).
@@ -62,14 +63,25 @@ class MicroBatcher:
     bucket fills a whole batch), then dispatches one device call per
     spatial-bucket group (chunked at `batch_size`). `stats()` exposes the
     coalescing behavior (batches, images, padded rows) for load tests and
-    ops dashboards."""
+    ops dashboards.
+
+    Dispatch is PIPELINED: a chunk's device call is enqueued via jax's
+    async dispatch (export.dispatch_padded_chunk) and its result is fetched
+    later (complete_padded_chunk), so while chunk N's H2D + compute + D2H
+    are in flight the batcher thread is already collecting and dispatching
+    chunk N+1. Up to `pipeline_depth` chunks stay in flight while more
+    traffic is queued; the moment the queue is empty every pending chunk
+    completes, so an idle server adds no latency. `pipeline_depth=0`
+    restores strictly synchronous dispatch."""
 
     def __init__(self, predictor, bucket: int = 128, batch_size: int = 8,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, pipeline_depth: int = 2):
         self.predictor = predictor
         self.bucket = int(bucket)
         self.batch_size = max(int(batch_size), 1)
         self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
+        self.pipeline_depth = max(int(pipeline_depth), 0)
+        self._pending: collections.deque = collections.deque()
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()
@@ -137,8 +149,16 @@ class MicroBatcher:
 
     def _loop(self):
         while True:
-            it = self._q.get()
+            try:
+                # with chunks in flight, poll instead of blocking: an empty
+                # queue means traffic paused, so drain one pending chunk
+                # (its waiters are blocked on it) and re-check
+                it = self._q.get(block=not self._pending)
+            except queue.Empty:
+                self._complete_chunk(self._pending.popleft())
+                continue
             if it is None:
+                self._drain_pending()
                 return
             batch = [it]
             counts = {it.key: 1}
@@ -153,10 +173,13 @@ class MicroBatcher:
                     break
                 if nxt is None:
                     self._dispatch(batch)
+                    self._drain_pending()
                     return
                 batch.append(nxt)
                 counts[nxt.key] = counts.get(nxt.key, 0) + 1
             self._dispatch(batch)
+            while len(self._pending) > self.pipeline_depth:
+                self._complete_chunk(self._pending.popleft())
 
     def _dispatch(self, batch):
         groups: dict = {}
@@ -164,27 +187,46 @@ class MicroBatcher:
             groups.setdefault(it.key, []).append(it)
         for key, items in groups.items():
             for i in range(0, len(items), self.batch_size):
-                self._run_chunk(key, items[i:i + self.batch_size])
+                self._dispatch_chunk(key, items[i:i + self.batch_size])
 
-    def _run_chunk(self, key, items):
-        # pad-back-to-compiled-batch logic lives in export.run_padded_chunk
-        # (one copy, shared with predict_paths and its equivalence test)
+    def _dispatch_chunk(self, key, items):
+        # pad-back-to-compiled-batch logic lives in
+        # export.dispatch_padded_chunk (one copy, shared with predict_paths
+        # and its equivalence test). The device call is enqueued here; the
+        # result is fetched in _complete_chunk.
         try:
-            preds, padded = run_padded_chunk(
+            dev_preds, padded = dispatch_padded_chunk(
                 self.predictor, key, [(it.img, it.h, it.w) for it in items],
                 self.batch_size, self._full_seen)
             with self._lock:
                 self._stats["batches"] += 1
                 self._stats["images"] += len(items)
                 self._stats["padded_rows"] += padded
-            for p, it in zip(preds, items):
-                it.result = p
-                it.event.set()
-        except Exception as e:  # surface device errors to every waiter
+            self._pending.append((dev_preds, items))
+        except Exception as e:  # trace/compile errors surface at dispatch
             for it in items:
                 if not it.event.is_set():
                     it.error = e
                     it.event.set()
+
+    def _complete_chunk(self, pending):
+        dev_preds, items = pending
+        try:
+            preds = complete_padded_chunk(dev_preds,
+                                          [(it.img, it.h, it.w)
+                                           for it in items])
+            for p, it in zip(preds, items):
+                it.result = p
+                it.event.set()
+        except Exception as e:  # async device errors materialize at fetch
+            for it in items:
+                if not it.event.is_set():
+                    it.error = e
+                    it.event.set()
+
+    def _drain_pending(self):
+        while self._pending:
+            self._complete_chunk(self._pending.popleft())
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -288,6 +330,7 @@ def make_server(npz_path: str, host: str = "127.0.0.1", port: int = 8433,
                 *, batch_size: int = 8, bucket: int = 128,
                 max_wait_ms: float = 5.0, fusion_mode: str = "mean",
                 scales=(1.0,), flip: bool = False, fused: bool = True,
+                pipeline_depth: int = 2,
                 verbose: bool = False) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server over an inference npz.
     `server.serve_forever()` runs it; `shutdown_server(server)` stops it
@@ -307,7 +350,8 @@ def make_server(npz_path: str, host: str = "127.0.0.1", port: int = 8433,
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.daemon_threads = True
     srv.batcher = MicroBatcher(predictor, bucket=bucket,  # type: ignore
-                               batch_size=batch_size, max_wait_ms=max_wait_ms)
+                               batch_size=batch_size, max_wait_ms=max_wait_ms,
+                               pipeline_depth=pipeline_depth)
     srv.meta = {k: v for k, v in meta.items() if k != "bf16_keys"}  # type: ignore
     srv.n_classes = sum(meta["classes"])  # type: ignore
     srv.to_palette_png = functools.partial(  # type: ignore
